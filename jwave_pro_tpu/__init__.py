@@ -1,0 +1,30 @@
+"""jwave_pro_tpu — a TPU-native wavelet transform framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of
+Prophetizo/JWave-Pro (pure-Java reference, see SURVEY.md): FWT (1D/2D/3D),
+Wavelet Packet Transform with best-basis selection, shift-invariant MODWT,
+complex CWT scalograms, FFT utilities, 67 discrete + 5 continuous wavelets,
+compression/denoising post-processing, streaming, and multi-chip sharding via
+``jax.sharding`` meshes.
+
+Everything is a pure function over ``(batch..., N)`` arrays; transforms jit,
+vmap, grad and shard.  Wavelet filter banks are host-side float64 constants.
+"""
+
+from .wavelets import (
+    DiscreteWavelet, good_wavelets, qmf_biorthogonal, qmf_orthonormal,
+    wavelet, wavelet_names,
+)
+from .ops import (  # noqa: F401
+    MAX_DECOMPOSITION_LEVEL, analysis_step, basis_coefficients, best_basis,
+    circular_convolve, circular_convolve_adjoint, decompose, fwt, fwt2, fwt3,
+    ifwt, ifwt2, ifwt3, imodwt, iwpt, log_energy_cost, modwt,
+    modwt_base_filters, modwt_mra, recompose, shannon_entropy_cost,
+    synthesis_step, threshold_cost, wpt, wpt_tree,
+)
+from .utils import (  # noqa: F401
+    ancient_egyptian_decomposition, is_power_of_two, max_level,
+    next_power_of_two,
+)
+
+__version__ = "0.1.0"

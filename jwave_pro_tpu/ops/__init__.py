@@ -1,0 +1,22 @@
+from .fwt import (
+    analysis_step, decompose, fwt, fwt2, fwt3, ifwt, ifwt2, ifwt3, recompose,
+    synthesis_step,
+)
+from .modwt import (
+    MAX_DECOMPOSITION_LEVEL, circular_convolve, circular_convolve_adjoint,
+    imodwt, modwt, modwt_base_filters, modwt_mra,
+)
+from .wpt import (
+    basis_coefficients, best_basis, iwpt, log_energy_cost,
+    shannon_entropy_cost, sure_cost, threshold_cost, wpt, wpt_tree,
+)
+
+__all__ = [
+    "analysis_step", "decompose", "fwt", "fwt2", "fwt3", "ifwt", "ifwt2",
+    "ifwt3", "recompose", "synthesis_step",
+    "MAX_DECOMPOSITION_LEVEL", "circular_convolve",
+    "circular_convolve_adjoint", "imodwt", "modwt", "modwt_base_filters",
+    "modwt_mra",
+    "basis_coefficients", "best_basis", "iwpt", "log_energy_cost",
+    "shannon_entropy_cost", "sure_cost", "threshold_cost", "wpt", "wpt_tree",
+]

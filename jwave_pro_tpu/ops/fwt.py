@@ -1,0 +1,240 @@
+"""Fast Wavelet Transform (Mallat pyramid) — TPU-native.
+
+The reference's per-level step is a scalar double loop with circular indexing
+``k = (2i + j) mod h`` (``jwave/transforms/wavelets/Wavelet.java:236-303``) and
+the pyramid runs that step on a shrinking prefix
+(``jwave/transforms/FastWaveletTransform.java:71-153``).  Here each level is a
+single strided convolution (``lax.conv_general_dilated``) over circularly
+wrap-extended input, batched over all leading axes — the 2D/3D separable loops
+of ``BasicTransform.java:361-659`` and the row/column fork-join of
+``ParallelTransform.java`` collapse into one batched conv per axis per level.
+
+Level loops are unrolled in Python: shapes halve every level (≤ ~30 levels),
+so everything under ``jit`` stays static-shaped.
+
+Coefficient layout matches the reference: ``[approx | detail]`` halves
+recursively on the prefix of the array.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..wavelets.base import DiscreteWavelet
+from ..utils.validation import check_power_of_two
+
+__all__ = [
+    "fwt", "ifwt", "fwt2", "ifwt2", "fwt3", "ifwt3",
+    "analysis_step", "synthesis_step", "decompose", "recompose",
+]
+
+
+def _wrap_extend(x: jax.Array, total: int) -> jax.Array:
+    """Circularly extend the last axis of ``x`` to ``total`` samples."""
+    h = x.shape[-1]
+    if total <= h:
+        return x[..., :total]
+    reps = -(-total // h)  # ceil
+    return jnp.concatenate([x] * (reps + 1), axis=-1)[..., :total] if reps > 1 \
+        else jnp.concatenate([x, x[..., : total - h]], axis=-1)
+
+
+def _filters(wavelet: DiscreteWavelet, dtype):
+    return (jnp.asarray(f, dtype=dtype) for f in
+            (wavelet.dec_lo, wavelet.dec_hi, wavelet.rec_lo, wavelet.rec_hi))
+
+
+def analysis_step(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
+    """One filter-bank analysis step on the last axis (length h, even).
+
+    ``out[..., :h/2]`` are scaling coefficients ``lo[i] = Σ_j x[(2i+j) mod h]
+    · dec_lo[j]``, ``out[..., h/2:]`` the wavelet coefficients — the batched
+    equivalent of ``Wavelet.forward`` (``Wavelet.java:236-260``).
+    """
+    h = x.shape[-1]
+    m = wavelet.length
+    dec_lo, dec_hi, _, _ = _filters(wavelet, x.dtype)
+    xt = _wrap_extend(x, h + max(m - 2, 0))
+    lead = xt.shape[:-1]
+    lhs = xt.reshape((-1, 1, xt.shape[-1]))  # (B, C=1, L)
+    rhs = jnp.stack([dec_lo, dec_hi])[:, None, :]  # (O=2, I=1, M)
+    out = lax.conv_general_dilated(
+        lhs, rhs, window_strides=(2,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=x.dtype,
+    )  # (B, 2, h/2)
+    lo, hi = out[:, 0, :], out[:, 1, :]
+    return jnp.concatenate([lo, hi], axis=-1).reshape(lead + (h,))
+
+
+def synthesis_step(y: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
+    """Adjoint of :func:`analysis_step` using the reconstruction banks.
+
+    ``x[k] = Σ_{i,j: (2i+j)≡k (mod h)} lo[i]·rec_lo[j] + hi[i]·rec_hi[j]``
+    — the batched equivalent of ``Wavelet.reverse`` (``Wavelet.java:277-303``),
+    including the unnormalized-Haar energy-correction factor
+    (``Haar1Orthogonal.java:196-201``).
+
+    Implemented as a fractionally-strided (lhs-dilated) convolution producing
+    the full-length extended result, then a circular fold-back.
+    """
+    h = y.shape[-1]
+    m = wavelet.length
+    _, _, rec_lo, rec_hi = _filters(wavelet, y.dtype)
+    lead = y.shape[:-1]
+    half = h // 2
+    lo = y[..., :half].reshape((-1, 1, half))
+    hi = y[..., half:].reshape((-1, 1, half))
+    lhs = jnp.concatenate([lo, hi], axis=1)  # (B, 2, h/2)
+    # Transposed strided correlation == lhs-dilated correlation with the
+    # flipped kernels and full padding.
+    rhs = jnp.stack([rec_lo[::-1], rec_hi[::-1]])[None, :, :]  # (O=1, I=2, M)
+    ext = lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(m - 1, m - 1)],
+        lhs_dilation=(2,), dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=y.dtype,
+    )[:, 0, :]  # (B, h + m - 2)
+    total = ext.shape[-1]
+    # Circular fold: x[k] = Σ_r ext[k + r·h]
+    if total > h:
+        reps = -(-total // h)
+        ext = jnp.pad(ext, ((0, 0), (0, reps * h - total)))
+        x = ext.reshape((-1, reps, h)).sum(axis=1)
+    else:
+        x = ext
+    if wavelet.energy_correction != 1.0:
+        x = x * jnp.asarray(wavelet.energy_correction, dtype=y.dtype)
+    return x.reshape(lead + (h,))
+
+
+def _resolve_level(n: int, level, wavelet: DiscreteWavelet) -> int:
+    # The reference accepts 0 ≤ level ≤ log2(N) (FastWaveletTransform.java:80-84)
+    # and the step loop additionally stops when the prefix width drops below the
+    # wavelet's transform_wavelength (":90-97").
+    from ..utils.validation import exponent
+
+    maxl = exponent(n)
+    if level is None:
+        return maxl
+    level = int(level)
+    if level < 0 or level > maxl:
+        raise ValueError(f"level {level} out of range [0, {maxl}] for length {n}")
+    return level
+
+
+def fwt(x: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
+    """Multi-level forward FWT on the last axis (length must be a power of 2).
+
+    Equivalent to ``FastWaveletTransform.forward(arr, level)``
+    (``FastWaveletTransform.java:71-101``).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    check_power_of_two(n)
+    level = _resolve_level(n, level, wavelet)
+    h = n
+    for _ in range(level):
+        if h < wavelet.transform_wavelength or h < 2:
+            break
+        head = analysis_step(x[..., :h], wavelet)
+        x = jnp.concatenate([head, x[..., h:]], axis=-1) if h < n else head
+        h //= 2
+    return x
+
+
+def ifwt(y: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
+    """Multi-level inverse FWT (``FastWaveletTransform.reverse``, ``:119-153``)."""
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    check_power_of_two(n)
+    level = _resolve_level(n, level, wavelet)
+    # Mirror the forward's width sequence, then synthesize in reverse order
+    # (FastWaveletTransform.java:134-148 starts at h = twl << (steps - level)).
+    widths = []
+    hh = n
+    for _ in range(level):
+        if hh < wavelet.transform_wavelength or hh < 2:
+            break
+        widths.append(hh)
+        hh //= 2
+    for h in reversed(widths):
+        head = synthesis_step(y[..., :h], wavelet)
+        y = jnp.concatenate([head, y[..., h:]], axis=-1) if h < n else head
+    return y
+
+
+def fwt2(m: jax.Array, wavelet: DiscreteWavelet, level_rows=None,
+         level_cols=None) -> jax.Array:
+    """2D forward: all rows (last axis), then all columns (second-to-last).
+
+    Matches ``BasicTransform.forward(double[][], lvlM, lvlN)``
+    (``BasicTransform.java:361-399``); the reference's per-row loop and the
+    fork-join of ``ParallelTransform.java:70-93`` are one batched conv here.
+    """
+    m = jnp.asarray(m)
+    m = fwt(m, wavelet, level_cols)
+    m = jnp.swapaxes(fwt(jnp.swapaxes(m, -1, -2), wavelet, level_rows), -1, -2)
+    return m
+
+
+def ifwt2(m: jax.Array, wavelet: DiscreteWavelet, level_rows=None,
+          level_cols=None) -> jax.Array:
+    """2D inverse: columns first, then rows (``BasicTransform.java:436-474``)."""
+    m = jnp.asarray(m)
+    m = jnp.swapaxes(ifwt(jnp.swapaxes(m, -1, -2), wavelet, level_rows), -1, -2)
+    m = ifwt(m, wavelet, level_cols)
+    return m
+
+
+def fwt3(s: jax.Array, wavelet: DiscreteWavelet, levels=(None, None, None)) -> jax.Array:
+    """3D forward over the last three axes (``BasicTransform.java:509-566``)."""
+    s = jnp.asarray(s)
+    lp, lq, lr = levels
+    s = fwt(s, wavelet, lr)                                   # last axis
+    s = jnp.swapaxes(fwt(jnp.swapaxes(s, -1, -2), wavelet, lq), -1, -2)
+    s = jnp.swapaxes(fwt(jnp.swapaxes(s, -1, -3), wavelet, lp), -1, -3)
+    return s
+
+
+def ifwt3(s: jax.Array, wavelet: DiscreteWavelet, levels=(None, None, None)) -> jax.Array:
+    """3D inverse (mirror of :func:`fwt3`, ``BasicTransform.java:602-659``)."""
+    s = jnp.asarray(s)
+    lp, lq, lr = levels
+    s = jnp.swapaxes(ifwt(jnp.swapaxes(s, -1, -3), wavelet, lp), -1, -3)
+    s = jnp.swapaxes(ifwt(jnp.swapaxes(s, -1, -2), wavelet, lq), -1, -2)
+    s = ifwt(s, wavelet, lr)
+    return s
+
+
+def decompose(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
+    """All-level decomposition matrix, shape ``(maxLevel+1, ..., N)``.
+
+    Row 0 is the input signal; row p is the FWT at level p — equivalent to
+    ``WaveletTransform.decompose`` (``WaveletTransform.java:136-146``).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    check_power_of_two(n)
+    from ..utils.validation import exponent
+
+    maxl = exponent(n)
+    rows = [x]
+    for p in range(1, maxl + 1):
+        h = n >> (p - 1)
+        prev = rows[-1]
+        if h < max(wavelet.transform_wavelength, 2):
+            rows.append(prev)
+            continue
+        head = analysis_step(prev[..., :h], wavelet)
+        rows.append(jnp.concatenate([head, prev[..., h:]], axis=-1)
+                    if h < n else head)
+    return jnp.stack(rows, axis=0)
+
+
+def recompose(mat: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
+    """Reconstruct the time signal from row ``level`` of a decompose matrix
+    (``WaveletTransform.recompose``, ``WaveletTransform.java:173-182``)."""
+    return ifwt(mat[level], wavelet, level)

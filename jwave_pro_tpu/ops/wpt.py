@@ -1,0 +1,196 @@
+"""Wavelet Packet Transform (full binary tree) + best-basis selection.
+
+Reference: ``jwave/transforms/WaveletPacketTransform.java:73-189`` — at each
+level every packet of width h is transformed by one filter-bank step; packets
+live contiguously in the flat array, so level l holds 2^l packets of width
+N/2^l in natural (Paley) order.
+
+TPU-first: a level is ONE batched conv — reshape ``(..., N)`` →
+``(..., packets, h)`` and run the circular analysis step over the last axis.
+This subsumes the reference's ForkJoinPool work-stealing packet parallelism
+(``ParallelWaveletPacketTransform.java:188-263``, strategy P1 in SURVEY §2.4)
+and its pooled-buffer variants: XLA fuses and never allocates per-packet.
+
+Best-basis: the reference README advertises "optimal basis selection" but
+ships no implementation (SURVEY §6) — implemented here fresh as the classic
+Coifman–Wickerhauser dynamic program over additive information costs, with
+static shapes (mask arrays per level) so it jits.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..wavelets.base import DiscreteWavelet
+from ..utils.validation import check_power_of_two, exponent
+from .fwt import analysis_step, synthesis_step, _resolve_level
+
+__all__ = [
+    "wpt", "iwpt", "wpt_tree", "best_basis", "basis_coefficients",
+    "shannon_entropy_cost", "log_energy_cost", "threshold_cost", "sure_cost",
+]
+
+
+def _level_widths(n: int, level: int, twl: int):
+    widths = []
+    h = n
+    lvl = 0
+    while h >= max(twl, 2) and lvl < level:
+        widths.append(h)
+        h >>= 1
+        lvl += 1
+    return widths
+
+
+def wpt(x: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
+    """Forward WPT on the last axis to ``level`` (default: full depth)."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    check_power_of_two(n)
+    level = _resolve_level(n, level, wavelet)
+    lead = x.shape[:-1]
+    for h in _level_widths(n, level, wavelet.transform_wavelength):
+        xp = x.reshape(lead + (n // h, h))
+        xp = analysis_step(xp, wavelet)
+        x = xp.reshape(lead + (n,))
+    return x
+
+
+def iwpt(y: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
+    """Inverse WPT (``WaveletPacketTransform.reverse``, ``:141-189``)."""
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    check_power_of_two(n)
+    level = _resolve_level(n, level, wavelet)
+    lead = y.shape[:-1]
+    for h in reversed(_level_widths(n, level, wavelet.transform_wavelength)):
+        yp = y.reshape(lead + (n // h, h))
+        yp = synthesis_step(yp, wavelet)
+        y = yp.reshape(lead + (n,))
+    return y
+
+
+def wpt_tree(x: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
+    """Full packet tree: shape ``(level+1, ..., N)``.
+
+    Row l is the WPT at depth l (row 0 = input).  Packet (l, p) occupies
+    ``row[l][p·N/2^l : (p+1)·N/2^l]`` in natural order.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    check_power_of_two(n)
+    level = _resolve_level(n, level, wavelet)
+    lead = x.shape[:-1]
+    rows = [x]
+    for h in _level_widths(n, level, wavelet.transform_wavelength):
+        xp = rows[-1].reshape(lead + (n // h, h))
+        rows.append(analysis_step(xp, wavelet).reshape(lead + (n,)))
+    return jnp.stack(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Information costs (additive, per Coifman–Wickerhauser 1992)
+# ---------------------------------------------------------------------------
+
+def shannon_entropy_cost(c: jax.Array, axis=-1) -> jax.Array:
+    """-Σ c² ln c² (0·ln 0 := 0)."""
+    c2 = c * c
+    safe = jnp.where(c2 > 0, c2, 1.0)
+    return -jnp.sum(jnp.where(c2 > 0, c2 * jnp.log(safe), 0.0), axis=axis)
+
+
+def log_energy_cost(c: jax.Array, axis=-1) -> jax.Array:
+    """Σ ln c² (0 term := 0)."""
+    c2 = c * c
+    safe = jnp.where(c2 > 0, c2, 1.0)
+    return jnp.sum(jnp.where(c2 > 0, jnp.log(safe), 0.0), axis=axis)
+
+
+def threshold_cost(c: jax.Array, axis=-1, *, threshold=1e-6) -> jax.Array:
+    """Count of |c| above threshold (sparsity cost)."""
+    return jnp.sum((jnp.abs(c) > threshold).astype(c.dtype), axis=axis)
+
+
+def sure_cost(c: jax.Array, axis=-1, *, threshold=1.0) -> jax.Array:
+    """Stein's unbiased risk estimate for soft thresholding at ``threshold``."""
+    n = c.shape[axis]
+    c2 = c * c
+    t2 = threshold * threshold
+    risk = jnp.sum(jnp.minimum(c2, t2), axis=axis)
+    n_small = jnp.sum((c2 <= t2).astype(c.dtype), axis=axis)
+    return n - 2.0 * n_small + risk
+
+
+_COSTS = {
+    "shannon": shannon_entropy_cost,
+    "logenergy": log_energy_cost,
+    "threshold": threshold_cost,
+    "sure": sure_cost,
+}
+
+
+def best_basis(x: jax.Array, wavelet: DiscreteWavelet, level=None,
+               cost: str = "shannon"):
+    """Coifman–Wickerhauser best-basis selection over the full WPT tree.
+
+    Returns ``(masks, total_cost, tree)`` where ``masks`` is a list over
+    levels 0..L of boolean arrays of shape ``(2^l,)`` — True where packet
+    (l, p) is a leaf of the optimal basis; ``tree`` is the full
+    :func:`wpt_tree` array.  Static shapes throughout (jit-compatible).
+
+    For batched input the cost is summed over leading axes so a single basis
+    is chosen for the whole batch.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    level = _resolve_level(n, level, wavelet)
+    level = min(level, len(_level_widths(n, level, wavelet.transform_wavelength)))
+    cost_fn = _COSTS[cost] if isinstance(cost, str) else cost
+    tree = wpt_tree(x, wavelet, level)
+
+    # Per-packet costs: costs[l] has shape (2^l,)
+    costs = []
+    for l in range(level + 1):
+        width = n >> l
+        row = tree[l].reshape((-1, 1 << l, width))  # (batch, packets, width)
+        costs.append(jnp.sum(cost_fn(row, axis=-1), axis=0))
+
+    # Bottom-up DP: best[l][p] = min(cost[l][p], best[l+1][2p] + best[l+1][2p+1])
+    best = costs[level]
+    split = []  # split[l][p] True → descend into children
+    for l in range(level - 1, -1, -1):
+        children = best.reshape((-1, 2)).sum(axis=-1)
+        take_children = children < costs[l]
+        split.append(take_children)
+        best = jnp.where(take_children, children, costs[l])
+    split.reverse()  # split[l] for l in 0..level-1
+
+    # Top-down: a packet is a leaf iff every ancestor splits and it does not.
+    masks = []
+    reach = jnp.ones((1,), dtype=bool)
+    for l in range(level + 1):
+        if l < level:
+            leaf = reach & ~split[l]
+            reach = jnp.repeat(reach & split[l], 2)
+        else:
+            leaf = reach
+        masks.append(leaf)
+    return masks, best[0], tree
+
+
+def basis_coefficients(tree: jax.Array, masks) -> jax.Array:
+    """Flatten a best-basis selection into one length-N coefficient array.
+
+    Each selected packet contributes its span of the corresponding tree row;
+    spans of a valid basis tile [0, N) exactly.
+    """
+    level = len(masks) - 1
+    n = tree.shape[-1]
+    out = jnp.zeros_like(tree[0])
+    for l in range(level + 1):
+        width = n >> l
+        sel = jnp.repeat(masks[l], width)  # (N,) True on selected spans
+        out = jnp.where(sel, tree[l], out)
+    return out

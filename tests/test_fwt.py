@@ -1,0 +1,137 @@
+"""FWT tests: oracle parity, perfect reconstruction sweeps, 2D/3D, levels.
+
+Mirrors the reference's test strategy (SURVEY §4): all-wavelet PR sweeps
+(GeneralTest.java:36-83), stepping per level (SteppingTest.java:37-169),
+repeated-transform rounding stability (RoundingTest.java:37-68).
+"""
+import numpy as np
+import pytest
+
+import jwave_pro_tpu as jw
+from . import oracles
+
+
+HAAR = jw.wavelet("Haar")
+DB4 = jw.wavelet("Daubechies 4")
+
+
+def test_haar_length8_quickstart():
+    # README quick start: constant signal → all energy in the DC coefficient.
+    x = np.ones(8)
+    y = np.asarray(jw.fwt(x, HAAR))
+    expected = np.zeros(8)
+    expected[0] = np.sqrt(8.0)  # ||x||_2 of a constant-1 length-8 signal
+    np.testing.assert_allclose(y, expected, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jw.ifwt(y, HAAR)), x, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [8, 64, 256])
+@pytest.mark.parametrize("name", ["Haar", "Daubechies 4", "Symlet 8",
+                                  "Coiflet 2", "BiOrthogonal 3/5",
+                                  "Daubechies 20", "Haar orthogonal"])
+def test_fwt_matches_oracle(name, n, rng):
+    w = jw.wavelet(name)
+    x = rng.standard_normal(n)
+    got = np.asarray(jw.fwt(x, w))
+    want = oracles.fwt(x, w)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    # inverse against oracle too
+    got_inv = np.asarray(jw.ifwt(want, w))
+    want_inv = oracles.ifwt(want, w)
+    np.testing.assert_allclose(got_inv, want_inv, atol=1e-10)
+
+
+def test_all_good_wavelets_perfect_reconstruction(rng):
+    # GeneralTest.java:36-83 analog: every create2arr wavelet round-trips.
+    # Tolerance 1e-6 matches the reference's own delta (GeneralTest.java:38,
+    # "due to a lot of wavelets with different precisions").
+    x = rng.standard_normal(32)
+    for w in jw.good_wavelets():
+        y = jw.fwt(x, w)
+        xr = np.asarray(jw.ifwt(y, w))
+        np.testing.assert_allclose(xr, x, atol=1e-6, err_msg=w.name)
+
+
+def test_stepping_every_level(rng):
+    # SteppingTest analog: forward/reverse at every level round-trips.
+    x = rng.standard_normal(64)
+    for level in range(0, 7):
+        y = jw.fwt(x, DB4, level)
+        xr = np.asarray(jw.ifwt(y, DB4, level))
+        np.testing.assert_allclose(xr, x, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(y),
+                                   oracles.fwt(x, DB4, level), atol=1e-10)
+
+
+def test_rounding_repeated_1000(rng):
+    # RoundingTest.java:37-68: 1000 forward+reverse keep error ≤ 1e-8.
+    x = rng.standard_normal(32)
+    import jax
+
+    @jax.jit
+    def roundtrip(v):
+        return jw.ifwt(jw.fwt(v, HAAR), HAAR)
+
+    v = x
+    for _ in range(1000):
+        v = roundtrip(v)
+    np.testing.assert_allclose(np.asarray(v), x, atol=1e-8)
+
+
+def test_fwt2_matches_row_col_oracle(rng):
+    m = rng.standard_normal((8, 16))
+    got = np.asarray(jw.fwt2(m, DB4))
+    # rows first (length-16 axis), then columns (length-8 axis)
+    step1 = np.stack([oracles.fwt(r, DB4) for r in m])
+    want = np.stack([oracles.fwt(c, DB4) for c in step1.T]).T
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    back = np.asarray(jw.ifwt2(got, DB4))
+    np.testing.assert_allclose(back, m, atol=1e-8)
+
+
+def test_fwt3_roundtrip(rng):
+    s = rng.standard_normal((8, 4, 16))
+    y = jw.fwt3(s, HAAR)
+    np.testing.assert_allclose(np.asarray(jw.ifwt3(y, HAAR)), s, atol=1e-8)
+
+
+def test_decompose_recompose(rng):
+    x = rng.standard_normal(32)
+    mat = np.asarray(jw.decompose(x, DB4))
+    assert mat.shape == (6, 32)
+    np.testing.assert_allclose(mat[0], x, atol=0)
+    for level in range(6):
+        np.testing.assert_allclose(
+            np.asarray(jw.recompose(jw.decompose(x, DB4), DB4, level)),
+            x, atol=1e-8)
+
+
+def test_non_power_of_two_raises():
+    with pytest.raises(ValueError, match="not a power of 2"):
+        jw.fwt(np.zeros(12), HAAR)
+
+
+def test_level_out_of_range():
+    with pytest.raises(ValueError, match="out of range"):
+        jw.fwt(np.zeros(16), HAAR, level=5)
+
+
+def test_batched_fwt_matches_loop(rng):
+    xb = rng.standard_normal((5, 32))
+    got = np.asarray(jw.fwt(xb, DB4))
+    for i in range(5):
+        np.testing.assert_allclose(got[i], oracles.fwt(xb[i], DB4), atol=1e-10)
+
+
+def test_haar_orthogonal_energy_correction(rng):
+    w = jw.wavelet("Haar orthogonal")
+    x = rng.standard_normal(16)
+    y = jw.fwt(x, w)
+    np.testing.assert_allclose(np.asarray(jw.ifwt(y, w)), x, atol=1e-8)
+
+
+def test_grad_through_fwt(rng):
+    import jax
+    x = rng.standard_normal(16)
+    g = jax.grad(lambda v: jw.fwt(v, DB4).sum())(x)
+    assert np.all(np.isfinite(np.asarray(g)))
