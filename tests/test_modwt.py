@@ -1,0 +1,125 @@
+"""MODWT tests: oracle parity, inverse, shift-invariance, FFT≡direct, denoise.
+
+Mirrors the reference suites: MODWTInverseTest, MODWTFFTConvolutionTest,
+PropertyBasedTest MODWT shift-invariance, MODWTLevelLimitTest (SURVEY §4.5).
+"""
+import numpy as np
+import pytest
+
+import jwave_pro_tpu as jw
+from jwave_pro_tpu.ops import denoise
+from . import oracles
+
+DB4 = jw.wavelet("Daubechies 4")
+HAAR = jw.wavelet("Haar")
+
+
+@pytest.mark.parametrize("n", [37, 64, 100])
+@pytest.mark.parametrize("name", ["Haar", "Daubechies 4", "Symlet 8"])
+def test_modwt_matches_oracle(name, n, rng):
+    w = jw.wavelet(name)
+    x = rng.standard_normal(n)
+    level = min(4, n.bit_length() - 1)
+    got = np.asarray(jw.modwt(x, w, level, method="direct"))
+    want = oracles.modwt(x, w, level)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_modwt_inverse_roundtrip(rng):
+    # MODWTInverseTest analog — arbitrary (non-pow2) length.
+    x = rng.standard_normal(123)
+    c = jw.modwt(x, DB4, 5)
+    xr = np.asarray(jw.imodwt(c, DB4))
+    np.testing.assert_allclose(xr, x, atol=1e-8)
+
+
+def test_modwt_inverse_matches_oracle(rng):
+    x = rng.standard_normal(41)
+    c = oracles.modwt(x, DB4, 3)
+    got = np.asarray(jw.imodwt(np.asarray(c), DB4, method="direct"))
+    want = oracles.imodwt(c, DB4)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_fft_equals_direct(rng):
+    # MODWTFFTConvolutionTest analog.
+    x = rng.standard_normal(200)
+    d = np.asarray(jw.modwt(x, DB4, 4, method="direct"))
+    f = np.asarray(jw.modwt(x, DB4, 4, method="fft"))
+    np.testing.assert_allclose(d, f, atol=1e-9)
+    xr_d = np.asarray(jw.imodwt(d, DB4, method="direct"))
+    xr_f = np.asarray(jw.imodwt(f, DB4, method="fft"))
+    np.testing.assert_allclose(xr_d, xr_f, atol=1e-9)
+
+
+def test_shift_invariance(rng):
+    # PropertyBasedTest analog: MODWT of a circularly shifted signal equals
+    # the circularly shifted MODWT.
+    x = rng.standard_normal(64)
+    s = 7
+    c = np.asarray(jw.modwt(x, DB4, 3))
+    c_shift = np.asarray(jw.modwt(np.roll(x, s), DB4, 3))
+    np.testing.assert_allclose(c_shift, np.roll(c, s, axis=-1), atol=1e-9)
+
+
+def test_energy_preservation(rng):
+    # MODWT preserves energy: ||x||² = Σ_j ||W_j||² + ||V_J||².
+    x = rng.standard_normal(128)
+    c = np.asarray(jw.modwt(x, HAAR, 5))
+    np.testing.assert_allclose(np.sum(c * c), np.sum(x * x), rtol=1e-10)
+
+
+def test_level_limits():
+    with pytest.raises(ValueError, match="theoretical limit"):
+        jw.modwt(np.zeros(16), DB4, 5)
+    with pytest.raises(ValueError, match="maximum supported"):
+        jw.modwt(np.zeros(1 << 15), DB4, 14)
+    with pytest.raises(ValueError, match="must be"):
+        jw.modwt(np.zeros(16), DB4, 0)
+
+
+def test_deep_level_filters_longer_than_signal(rng):
+    # Level-5 upsampled Db4 filter has 113 taps > N=40: the mod-N wrap
+    # accumulation (MODWTTransform.java:729-741) must still hold.
+    x = rng.standard_normal(40)
+    got = np.asarray(jw.modwt(x, DB4, 5, method="direct"))
+    want = oracles.modwt(x, DB4, 5)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    fft = np.asarray(jw.modwt(x, DB4, 5, method="fft"))
+    np.testing.assert_allclose(fft, want, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(jw.imodwt(got, DB4)), x, atol=1e-8)
+
+
+def test_batched_modwt(rng):
+    xb = rng.standard_normal((3, 50))
+    got = np.asarray(jw.modwt(xb, HAAR, 3))
+    for i in range(3):
+        np.testing.assert_allclose(got[:, i, :],
+                                   oracles.modwt(xb[i], HAAR, 3), atol=1e-10)
+
+
+def test_mra_sums_to_signal(rng):
+    x = rng.standard_normal(90)
+    comps = np.asarray(jw.modwt_mra(x, DB4, 4))
+    np.testing.assert_allclose(comps.sum(axis=0), x, atol=1e-8)
+
+
+def test_denoise_reduces_noise(rng):
+    t = np.linspace(0, 1, 256)
+    clean = np.sin(2 * np.pi * 5 * t)
+    noisy = clean + 0.3 * rng.standard_normal(256)
+    den = np.asarray(denoise.modwt_denoise(noisy, DB4, 4))
+    assert np.mean((den - clean) ** 2) < np.mean((noisy - clean) ** 2)
+
+
+def test_jit_and_grad(rng):
+    import jax
+    x = rng.standard_normal(64)
+
+    @jax.jit
+    def roundtrip(v):
+        return jw.imodwt(jw.modwt(v, DB4, 3), DB4)
+
+    np.testing.assert_allclose(np.asarray(roundtrip(x)), x, atol=1e-8)
+    g = jax.grad(lambda v: jw.modwt(v, DB4, 2).sum())(x)
+    assert np.all(np.isfinite(np.asarray(g)))

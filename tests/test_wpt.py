@@ -1,0 +1,91 @@
+"""WPT tests: oracle parity, PR sweeps, best-basis properties."""
+import numpy as np
+import pytest
+
+import jwave_pro_tpu as jw
+from . import oracles
+
+DB4 = jw.wavelet("Daubechies 4")
+SYM8 = jw.wavelet("Symlet 8")
+HAAR = jw.wavelet("Haar")
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, None])
+def test_wpt_matches_oracle(level, rng):
+    x = rng.standard_normal(32)
+    got = np.asarray(jw.wpt(x, DB4, level))
+    want = oracles.wpt(x, DB4, level)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_iwpt_matches_oracle(rng):
+    y = rng.standard_normal(32)
+    got = np.asarray(jw.iwpt(y, DB4, 3))
+    want = oracles.iwpt(y, DB4, 3)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_wpt_roundtrip_all_good(rng):
+    x = rng.standard_normal(32)
+    for w in jw.good_wavelets():
+        xr = np.asarray(jw.iwpt(jw.wpt(x, w), w))
+        np.testing.assert_allclose(xr, x, atol=1e-6, err_msg=w.name)
+
+
+def test_parallel_equivalence(rng):
+    # ParallelWPTTest analog: the batched level step must equal the
+    # sequential per-packet result (here: big batch to engage the same code).
+    xb = rng.standard_normal((4, 64))
+    got = np.asarray(jw.wpt(xb, SYM8, 3))
+    for i in range(4):
+        np.testing.assert_allclose(got[i], oracles.wpt(xb[i], SYM8, 3),
+                                   atol=1e-10)
+
+
+def test_wpt_tree_rows(rng):
+    x = rng.standard_normal(16)
+    tree = np.asarray(jw.wpt_tree(x, HAAR, 4))
+    assert tree.shape == (5, 16)
+    np.testing.assert_allclose(tree[0], x)
+    for l in (1, 2, 3, 4):
+        np.testing.assert_allclose(tree[l], oracles.wpt(x, HAAR, l),
+                                   atol=1e-10)
+
+
+def test_best_basis_beats_or_ties_full_tree(rng):
+    x = rng.standard_normal(64)
+    masks, cost, tree = jw.best_basis(x, SYM8, 4)
+    # The chosen basis cost never exceeds the level-0 (input) or deepest cost.
+    c0 = float(jw.shannon_entropy_cost(np.asarray(tree[0])))
+    assert float(cost) <= c0 + 1e-9
+    # masks form a valid tiling: total span = N
+    n = 64
+    total = sum(int(np.sum(np.asarray(m))) * (n >> l)
+                for l, m in enumerate(masks))
+    assert total == n
+
+
+def test_best_basis_picks_leaf_for_packet_concentrated_signal():
+    # A pure level-2 packet impulse should keep a coarse (split) basis whose
+    # cost equals the minimal entropy (perfect concentration).
+    n = 32
+    y = np.zeros(n)
+    y[5] = 1.0  # impulse is already maximally concentrated at level 0
+    masks, cost, _ = jw.best_basis(y, HAAR, 3)
+    assert float(cost) <= 1e-9  # -1²·ln(1²) = 0
+
+
+def test_basis_coefficients_roundtrip(rng):
+    x = rng.standard_normal(32)
+    masks, _, tree = jw.best_basis(x, DB4, 3)
+    flat = np.asarray(jw.basis_coefficients(tree, masks))
+    # Energy of any orthonormal-basis representation equals signal energy.
+    np.testing.assert_allclose(np.sum(flat**2), np.sum(x**2), rtol=1e-8)
+
+
+def test_symlet8_level6_65536(rng):
+    # BASELINE.json eval config: WPT Symlet8 6-level on 65536 samples.
+    x = rng.standard_normal(65536)
+    y = jw.wpt(x, SYM8, 6)
+    xr = np.asarray(jw.iwpt(y, SYM8, 6))
+    np.testing.assert_allclose(xr, x, atol=1e-7)
