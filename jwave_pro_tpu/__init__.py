@@ -26,5 +26,30 @@ from .utils import (  # noqa: F401
     ancient_egyptian_decomposition, is_power_of_two, max_level,
     next_power_of_two,
 )
+from .ops.cwt import (  # noqa: F401
+    CWTResult, cwt, cwt_direct, generate_linear_scales, generate_log_scales,
+)
+from .ops.fft import fft, ifft  # noqa: F401
+from .ops.arbitrary import (  # noqa: F401
+    aed_forward, aed_inverse, swt_forward, swt_inverse,
+)
+from .ops.compress import (  # noqa: F401
+    compress_fixed, compress_magnitude, compress_peaks_average,
+    compression_rate,
+)
+from .ops.denoise import (  # noqa: F401
+    hard_threshold, mad_sigma, modwt_denoise, soft_threshold,
+    universal_threshold,
+)
+from .wavelets.continuous import (  # noqa: F401
+    ContinuousWavelet, DOGWavelet, MexicanHatWavelet, MeyerWavelet,
+    MorletWavelet, PaulWavelet, continuous_wavelet,
+)
+from .transforms import (  # noqa: F401
+    AncientEgyptianDecomposition, ContinuousWaveletTransform,
+    DiscreteFourierTransform, FastFourierTransform, FastWaveletTransform,
+    MODWTTransform, ShiftingWaveletTransform, Transform,
+    WaveletPacketTransform, build_transform,
+)
 
 __version__ = "0.1.0"

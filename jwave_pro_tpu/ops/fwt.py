@@ -85,9 +85,13 @@ def synthesis_step(y: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     m = wavelet.length
     _, _, rec_lo, rec_hi = _filters(wavelet, y.dtype)
     lead = y.shape[:-1]
+    # For odd h (reachable via the Shifting WT reverse) the reference reads
+    # lo = y[0:h/2], hi = y[h/2:2·(h/2)] and ignores the last element, while
+    # the output scatter stays modulo h (Wavelet.java:277-303 with integer
+    # halving).
     half = h // 2
     lo = y[..., :half].reshape((-1, 1, half))
-    hi = y[..., half:].reshape((-1, 1, half))
+    hi = y[..., half:2 * half].reshape((-1, 1, half))
     lhs = jnp.concatenate([lo, hi], axis=1)  # (B, 2, h/2)
     # Transposed strided correlation == lhs-dilated correlation with the
     # flipped kernels and full padding.

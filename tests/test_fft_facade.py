@@ -1,0 +1,169 @@
+"""FFT parity (golden files from the reference repo) + facade + wrappers."""
+import numpy as np
+import pytest
+
+import jwave_pro_tpu as jw
+from jwave_pro_tpu.ops import fft as jfft
+from . import oracles
+
+TESTDATA = "/root/reference/src/test/resources/testdata"
+
+
+def _load_vec(name):
+    # TestDataLoader format: '# comment' lines then one value per line
+    # (interleaved or plain), TestDataLoader.java:46-242.
+    vals = []
+    with open(f"{TESTDATA}/{name}") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals.extend(float(t) for t in line.split())
+    return np.asarray(vals)
+
+
+def test_fft_against_reference_golden_files():
+    # CrossValidationTest.testFFTWithReferenceData analog: the committed
+    # NumPy-generated vectors in the reference repo's test resources
+    # (scripts/generate_reference_data.py output).
+    import os
+    if not os.path.isdir(TESTDATA):
+        pytest.skip("reference testdata not available")
+    for stem in ("fft_dc", "fft_impulse"):
+        x = _load_vec(f"{stem}_input.txt")
+        got = np.asarray(jfft.fft(x))
+        np.testing.assert_allclose(got.real,
+                                   _load_vec(f"{stem}_output_real.txt"),
+                                   atol=1e-12, err_msg=stem)
+        np.testing.assert_allclose(got.imag,
+                                   _load_vec(f"{stem}_output_imag.txt"),
+                                   atol=1e-12, err_msg=stem)
+
+
+def test_haar_against_reference_golden_files():
+    # Golden Haar level-1 coefficients (hand-computed in the reference's
+    # generate_basic_reference.py) for signal [1..8].
+    import os
+    if not os.path.isdir(TESTDATA):
+        pytest.skip("reference testdata not available")
+    x = _load_vec("haar_simple_input.txt")
+    w = jw.wavelet("Haar")
+    y = np.asarray(jw.fwt(x, w, level=1))
+    np.testing.assert_allclose(y[:4], _load_vec("haar_level1_approx_manual.txt"),
+                               atol=1e-12)
+    np.testing.assert_allclose(y[4:], _load_vec("haar_level1_detail_manual.txt"),
+                               atol=1e-12)
+
+
+def test_filter_banks_against_golden_files():
+    # filter_<pywt-name>_* files: pywt dbN == JWave "Daubechies N" (2N taps);
+    # the files store the JWave tap order.
+    import os
+    if not os.path.isdir(TESTDATA):
+        pytest.skip("reference testdata not available")
+    for fname, wname, bank in [
+        ("filter_haar_dec_lo.txt", "Haar", "dec_lo"),
+        ("filter_haar_dec_hi.txt", "Haar", "dec_hi"),
+        ("filter_haar_rec_lo.txt", "Haar", "rec_lo"),
+        ("filter_haar_rec_hi.txt", "Haar", "rec_hi"),
+        ("filter_db2_dec_lo.txt", "Daubechies 2", "dec_lo"),
+        ("filter_db4_dec_lo.txt", "Daubechies 4", "dec_lo"),
+        ("filter_db4_dec_hi.txt", "Daubechies 4", "dec_hi"),
+    ]:
+        want = _load_vec(fname)
+        got = np.asarray(getattr(jw.wavelet(wname), bank))
+        if len(want) != len(got):
+            # pywt naming: dbN has 2N taps == JWave "Daubechies N"
+            got = np.asarray(
+                getattr(jw.wavelet(f"Daubechies {len(want) // 2}"), bank))
+        # The golden files were generated with pywt, whose high-pass sign /
+        # orientation convention differs from JWave's QMF by the standard
+        # filter-bank ambiguity (reversal and/or global sign) — both produce
+        # identical transforms up to detail-coefficient sign.
+        candidates = [got, -got, got[::-1], -got[::-1]]
+        assert any(np.allclose(c, want, atol=1e-12) for c in candidates), fname
+
+
+def test_fft_roundtrip_and_parseval(rng):
+    x = rng.standard_normal(100) + 1j * rng.standard_normal(100)
+    X = np.asarray(jfft.fft(x))
+    np.testing.assert_allclose(np.asarray(jfft.ifft(X)), x, atol=1e-10)
+    np.testing.assert_allclose(np.sum(np.abs(x) ** 2),
+                               np.sum(np.abs(X) ** 2) / 100, rtol=1e-10)
+
+
+def test_dft_equals_fft(rng):
+    x = rng.standard_normal(37)
+    np.testing.assert_allclose(np.asarray(jfft.dft(x)),
+                               np.asarray(jfft.fft(x)), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(jfft.idft(jfft.dft(x))), x,
+                               atol=1e-9)
+
+
+def test_interleaved_api(rng):
+    inter = rng.standard_normal(16)  # 8 complex values
+    got = np.asarray(jfft.fft_interleaved(inter))
+    z = inter[0::2] + 1j * inter[1::2]
+    want = np.fft.fft(z)
+    np.testing.assert_allclose(got[0::2], want.real, atol=1e-10)
+    np.testing.assert_allclose(got[1::2], want.imag, atol=1e-10)
+    back = np.asarray(jfft.ifft_interleaved(got))
+    np.testing.assert_allclose(back, inter, atol=1e-10)
+
+
+def test_facade_builders(rng):
+    t = jw.build_transform("Fast Wavelet Transform", "Daubechies 4")
+    x = rng.standard_normal(64)
+    np.testing.assert_allclose(np.asarray(t.reverse(t.forward(x))), x,
+                               atol=1e-8)
+    m = rng.standard_normal((8, 8))
+    np.testing.assert_allclose(np.asarray(t.reverse(t.forward(m))), m,
+                               atol=1e-8)
+    t2 = jw.build_transform("Wavelet Packet Transform", "Haar")
+    np.testing.assert_allclose(np.asarray(t2.reverse(t2.forward(x))), x,
+                               atol=1e-8)
+    with pytest.raises(ValueError, match="unknown transform"):
+        jw.build_transform("bogus")
+
+
+def test_aed_arbitrary_length(rng):
+    # AED: 42 = 32 + 8 + 2 (AncientEgyptianDecomposition.java:97-129)
+    w = jw.wavelet("Daubechies 4")
+    x = rng.standard_normal(42)
+    y = np.asarray(jw.aed_forward(x, w))
+    # block structure: each block transformed independently
+    np.testing.assert_allclose(y[:32], oracles.fwt(x[:32], w), atol=1e-10)
+    np.testing.assert_allclose(y[32:40], oracles.fwt(x[32:40], w), atol=1e-10)
+    np.testing.assert_allclose(y[40:], oracles.fwt(x[40:], w), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jw.aed_inverse(y, w)), x, atol=1e-8)
+
+
+def test_swt_roundtrip_pow2(rng):
+    w = jw.wavelet("Haar")
+    x = rng.standard_normal(32)
+    y = jw.swt_forward(x, w)
+    np.testing.assert_allclose(np.asarray(jw.swt_inverse(y, w)), x, atol=1e-8)
+
+
+def test_swt_odd_passthrough(rng):
+    w = jw.wavelet("Haar")
+    x = rng.standard_normal(9)
+    y = np.asarray(jw.swt_forward(x, w))
+    assert y[-1] == x[-1]  # odd trailing sample passed through
+
+
+def test_compressors(rng):
+    c = np.array([0.1, -5.0, 0.2, 3.0])
+    out = np.asarray(jw.compress_magnitude(c))  # mean |c| = 2.075
+    np.testing.assert_allclose(out, [0, -5.0, 0, 3.0])
+    out = np.asarray(jw.compress_peaks_average(c))  # max/2 = 2.5
+    np.testing.assert_allclose(out, [0, -5.0, 0, 3.0])
+    assert float(jw.compression_rate(out)) == 50.0
+
+
+def test_thresholds():
+    c = np.array([-3.0, -0.5, 0.5, 3.0])
+    np.testing.assert_allclose(np.asarray(jw.soft_threshold(c, 1.0)),
+                               [-2.0, 0.0, 0.0, 2.0])
+    np.testing.assert_allclose(np.asarray(jw.hard_threshold(c, 1.0)),
+                               [-3.0, 0.0, 0.0, 3.0])
