@@ -66,16 +66,13 @@ def test_filter_banks_against_golden_files():
         ("filter_haar_dec_hi.txt", "Haar", "dec_hi"),
         ("filter_haar_rec_lo.txt", "Haar", "rec_lo"),
         ("filter_haar_rec_hi.txt", "Haar", "rec_hi"),
-        ("filter_db2_dec_lo.txt", "Daubechies 2", "dec_lo"),
-        ("filter_db4_dec_lo.txt", "Daubechies 4", "dec_lo"),
-        ("filter_db4_dec_hi.txt", "Daubechies 4", "dec_hi"),
+        ("filter_db2_dec_lo.txt", "Haar", "dec_lo"),  # "db2 = Haar" per file
+        ("filter_db4_dec_lo.txt", "Daubechies 2", "dec_lo"),  # 4 taps
+        ("filter_db4_dec_hi.txt", "Daubechies 2", "dec_hi"),
     ]:
         want = _load_vec(fname)
         got = np.asarray(getattr(jw.wavelet(wname), bank))
-        if len(want) != len(got):
-            # pywt naming: dbN has 2N taps == JWave "Daubechies N"
-            got = np.asarray(
-                getattr(jw.wavelet(f"Daubechies {len(want) // 2}"), bank))
+        assert len(want) == len(got), fname
         # The golden files were generated with pywt, whose high-pass sign /
         # orientation convention differs from JWave's QMF by the standard
         # filter-bank ambiguity (reversal and/or global sign) — both produce
