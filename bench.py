@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Benchmark harness — north-star metric: MODWT Db4 5-level samples/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the driver target of 1e9 samples/s/chip
+(BASELINE.json; the reference publishes no absolute throughput numbers).
+
+Run with JWAVE_BENCH_ALL=1 for the full per-config table on stderr.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jwave_pro_tpu as jw  # noqa: E402
+
+TARGET = 1e9  # samples/s/chip (BASELINE.json north star)
+
+
+def _fetch(out):
+    """Force real device completion: reduce to a scalar and pull it to host.
+
+    (block_until_ready alone does not reliably block through the axon
+    tunnel — measured 7.6 TB/s "bandwidth" without this.)
+    """
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(jnp.sum(leaves[0].ravel()[:16]))
+
+
+def _time_chain(step, x, k_short=2, k_long=8, repeats=3):
+    """Time one application of ``step`` by differencing two chain lengths.
+
+    ``step`` must map x → array of x's shape; the chain serializes
+    iterations through a data dependence, and the (k_long − k_short)
+    difference cancels dispatch/tunnel/fetch overhead.
+    """
+    def chain(v, k):
+        for _ in range(k):
+            v = step(v)
+        return jnp.sum(v.ravel()[:16])
+
+    short = jax.jit(lambda v: chain(v, k_short))
+    long = jax.jit(lambda v: chain(v, k_long))
+    float(short(x))  # compile
+    float(long(x))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(short(x))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(long(x))
+        t_l = time.perf_counter() - t0
+        best = min(best, (t_l - t_s) / (k_long - k_short))
+    return best
+
+
+def _time(fn, *args, warmup=2, iters=5):
+    _fetch(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _fetch(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_modwt(dtype=jnp.float32, batch=32, n=1 << 20, level=5,
+                method="direct"):
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    dtype=dtype)
+
+    def step(v):
+        # full forward MODWT; feed V_J back so chained iterations serialize
+        return jw.modwt(v, w, level, method=method)[level]
+
+    dt = _time_chain(step, x)
+    return batch * n / dt
+
+
+def bench_modwt_roundtrip(dtype=jnp.float32, batch=8, n=1 << 20, level=5):
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    dtype=dtype)
+    f = jax.jit(lambda v: jw.imodwt(jw.modwt(v, w, level), w))
+    dt = _time(f, x)
+    err = float(jnp.max(jnp.abs(f(x) - x)))
+    return batch * n / dt, err
+
+
+def bench_fwt(dtype=jnp.float32, batch=32, n=1 << 20):
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    dtype=dtype)
+    f = jax.jit(lambda v: jw.fwt(v, w))
+    dt = _time(f, x)
+    return batch * n / dt
+
+
+def bench_fwt2d(dtype=jnp.float32, batch=16, n=1024):
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n)),
+                    dtype=dtype)
+    f = jax.jit(lambda v: jw.fwt2(v, w))
+    dt = _time(f, x)
+    return batch * n * n / dt
+
+
+def bench_wpt(dtype=jnp.float32, batch=64, n=65536, level=6):
+    w = jw.wavelet("Symlet 8")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    dtype=dtype)
+    f = jax.jit(lambda v: jw.wpt(v, w, level))
+    dt = _time(f, x)
+    return batch * n / dt
+
+
+def bench_cwt(dtype=jnp.float32, batch=16, n=4096, n_scales=64):
+    wav = jw.MorletWavelet()
+    scales = jw.generate_log_scales(1.0, 256.0, n_scales)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    dtype=dtype)
+    f = jax.jit(lambda v: jw.cwt(v, scales, wav, 1.0).coefficients)
+    dt = _time(f, x)
+    return batch * n / dt  # input samples/s (each producing 64 scales)
+
+
+def main():
+    results = {}
+    results["modwt_db4_L5"] = bench_modwt()
+    if os.environ.get("JWAVE_BENCH_ALL"):
+        results["modwt_roundtrip"], err = bench_modwt_roundtrip()
+        results["modwt_fft_method"] = bench_modwt(method="fft", batch=8)
+        results["fwt_db4_1m"] = bench_fwt()
+        results["fwt2_db4_1024"] = bench_fwt2d()
+        results["wpt_sym8_L6"] = bench_wpt()
+        results["cwt_morlet_64scales"] = bench_cwt()
+        for k, v in results.items():
+            print(f"  {k:24s} {v/1e9:8.3f} Gsamples/s", file=sys.stderr)
+        print(f"  roundtrip max-abs-err {err:.2e}", file=sys.stderr)
+    value = results["modwt_db4_L5"]
+    print(json.dumps({
+        "metric": "modwt_db4_level5_samples_per_sec_per_chip",
+        "value": value,
+        "unit": "samples/s",
+        "vs_baseline": value / TARGET,
+    }))
+
+
+if __name__ == "__main__":
+    main()
