@@ -74,7 +74,7 @@ def _time(fn, *args, warmup=2, iters=5):
 
 
 def bench_modwt(dtype=jnp.float32, batch=32, n=1 << 20, level=5,
-                method="direct"):
+                method="auto"):
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
                     dtype=dtype)
@@ -139,6 +139,7 @@ def main():
     results["modwt_db4_L5"] = bench_modwt()
     if os.environ.get("JWAVE_BENCH_ALL"):
         results["modwt_roundtrip"], err = bench_modwt_roundtrip()
+        results["modwt_xla_direct"] = bench_modwt(method="direct")
         results["modwt_fft_method"] = bench_modwt(method="fft", batch=8)
         results["fwt_db4_1m"] = bench_fwt()
         results["fwt2_db4_1024"] = bench_fwt2d()

@@ -156,12 +156,14 @@ def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
     cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
     sig_fft = jnp.fft.fft(xp.astype(cdtype), axis=-1)  # (..., P)
 
-    scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
-    omega = _omega_axis(padded_n, sampling_rate)  # (P,)
-    # ψ̂ on the (scale, freq) grid — one vectorized evaluation (jit constant
-    # when scales are static numpy; traced otherwise).
+    # scales may be static numpy OR a traced jnp array (sharded CWT path)
+    scales_arr = jnp.atleast_1d(jnp.asarray(scales, dtype=jnp.float64
+                                            if x.dtype == jnp.float64
+                                            else jnp.float32))
+    omega = _omega_axis(padded_n, sampling_rate)  # (P,) static
+    # ψ̂ on the (scale, freq) grid — one vectorized evaluation
     grid_omega = jnp.asarray(omega)[None, :]
-    grid_scale = jnp.asarray(scales_np)[:, None]
+    grid_scale = scales_arr[:, None]
     wav_fft = jnp.conj(wavelet.psi_hat_scaled(grid_omega, grid_scale))
     wav_fft = wav_fft.astype(cdtype)  # (S, P)
 
@@ -170,7 +172,7 @@ def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
 
     dt = 1.0 / sampling_rate
     time_axis = jnp.asarray(np.arange(n) * dt)
-    return CWTResult(coeff, jnp.asarray(scales_np), time_axis,
+    return CWTResult(coeff, scales_arr, time_axis,
                      sampling_rate, wavelet.name)
 
 

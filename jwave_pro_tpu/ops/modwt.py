@@ -165,6 +165,29 @@ def _check_level(n: int, level: int) -> None:
         )
 
 
+def _try_pallas(x, wavelet, level, inverse=False):
+    """Dispatch to the fused TPU kernel when shape/dtype/backend allow."""
+    if jax.default_backend() != "tpu":
+        return None
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    from ..kernels import modwt_pallas as kp
+
+    if inverse:
+        if x.ndim != 3:
+            return None
+        rows, b, n = x.shape
+        if kp.pallas_supported(b, n, rows - 1, wavelet.length) is None:
+            return None
+        return kp.imodwt_fused(x, wavelet)
+    if x.ndim != 2:
+        return None
+    b, n = x.shape
+    if kp.pallas_supported(b, n, level, wavelet.length) is None:
+        return None
+    return kp.modwt_fused(x, wavelet, level)
+
+
 def modwt(x: jax.Array, wavelet: DiscreteWavelet, level: int,
           method: str = "auto") -> jax.Array:
     """Forward MODWT on the last axis; works for arbitrary (non-pow2) N.
@@ -173,13 +196,24 @@ def modwt(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     coefficients W_1..W_J, row level is the approximation V_J — the layout of
     ``MODWTTransform.forwardMODWT`` (``MODWTTransform.java:256-306``).
 
-    ``method``: 'direct' (dilated à-trous conv), 'fft', 'auto' (cost model for
-    the dilated path), or 'auto_reference' (the reference's N·M>4096 rule).
+    ``method``: 'direct' (dilated à-trous conv), 'fft', 'pallas' (fused TPU
+    kernel), 'auto' (fused kernel on TPU when the shape allows, else a cost
+    model between direct/fft), or 'auto_reference' (the reference's
+    N·M>4096 rule, ``MODWTTransform.java:640-664``).
     """
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(jnp.float32)
     _check_level(x.shape[-1], level)
+    if method in ("auto", "pallas"):
+        out = _try_pallas(x, wavelet, level)
+        if out is not None:
+            return out
+        if method == "pallas":
+            raise ValueError(
+                f"fused kernel unavailable for shape {x.shape} dtype "
+                f"{x.dtype} on backend {jax.default_backend()}")
+        method = "auto"
     g, h = modwt_base_filters(wavelet)
     rows = []
     v = x
@@ -202,6 +236,14 @@ def imodwt(coeffs: jax.Array, wavelet: DiscreteWavelet,
     level = coeffs.shape[0] - 1
     if level < 1:
         raise ValueError("need at least level 1 (rows W_1 and V_1)")
+    if method in ("auto", "pallas"):
+        out = _try_pallas(coeffs, wavelet, level, inverse=True)
+        if out is not None:
+            return out
+        if method == "pallas":
+            raise ValueError(
+                f"fused kernel unavailable for shape {coeffs.shape}")
+        method = "auto"
     g, h = modwt_base_filters(wavelet)
     v = coeffs[level]
     for j in range(level, 0, -1):

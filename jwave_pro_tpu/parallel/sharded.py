@@ -1,0 +1,266 @@
+"""Sharded transforms: signal-axis MODWT/conv via ppermute halo exchange,
+scale-sharded CWT, packet-sharded WPT, batch-parallel everything.
+
+This is the tier the reference lacks entirely (its "distributed backend" is
+a shared-memory ForkJoinPool, SURVEY §5.8).  Mapping:
+
+  * batch axes: just ``NamedSharding`` — jit inserts no collectives.
+  * signal axis (long 1D series): each chip holds a contiguous shard; the
+    à-trous circular convolution of level j needs ``(M−1)·2^(j−1)`` samples
+    of left context from the circularly-previous shard — fetched with
+    ``lax.ppermute`` ring hops over ICI (the signal analog of context/ring
+    parallelism).  Level depth is bounded so the halo fits in a few hops.
+  * CWT scales / WPT packets: independent subproblems → shard the axis,
+    zero communication in the kernel (the reference's P1/P2 strategies).
+
+All functions take an explicit ``Mesh`` and work under ``jit`` with a
+``shard_map`` body, so XLA compiles the ppermutes onto ICI.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax>=0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.cwt import CWTResult, cwt as _cwt
+from ..ops.modwt import _check_level, modwt_base_filters
+from ..wavelets.base import DiscreteWavelet
+
+__all__ = [
+    "modwt_sharded", "imodwt_sharded", "cwt_sharded", "wpt_sharded",
+    "fwt2_sharded",
+]
+
+
+def _left_context(x_shard, halo: int, axis_name: str):
+    """Fetch ``halo`` samples of circular left context along a ring axis.
+
+    Generalizes to halos larger than one shard with multiple ppermute hops:
+    after hop t the device holds the previous (t+1) shards' tails.
+    """
+    n_dev = lax.axis_size(axis_name)
+    s = x_shard.shape[-1]
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    pieces = []
+    got = 0
+    send = x_shard
+    while got < halo:
+        send = lax.ppermute(send, axis_name, perm)
+        take = min(halo - got, s)
+        pieces.append(send[..., s - take:])
+        got += take
+        # For multi-hop halos, keep forwarding the *original* shard of the
+        # sender chain: after hop t, `send` holds shard (i-t); its tail is
+        # the context at distance t.
+    # pieces[t] is the tail of shard (i-t-1): nearest context first → the
+    # full left context in signal order is [piece_last, ..., piece_0]
+    return jnp.concatenate(list(reversed(pieces)), axis=-1)[..., -halo:]
+
+
+def _right_context(x_shard, halo: int, axis_name: str):
+    n_dev = lax.axis_size(axis_name)
+    s = x_shard.shape[-1]
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    pieces = []
+    got = 0
+    send = x_shard
+    while got < halo:
+        send = lax.ppermute(send, axis_name, perm)
+        take = min(halo - got, s)
+        pieces.append(send[..., :take])
+        got += take
+    return jnp.concatenate(pieces, axis=-1)[..., :halo]
+
+
+def _dilated_conv_shard(v, g, h, d, axis_name, adjoint=False, w=None):
+    """One sharded MODWT level: local conv + halo exchange.
+
+    Forward: y[n] = Σ_k f[k]·x[n − k·d] (needs left context);
+    adjoint:  y[n] = Σ_k f[k]·x[n + k·d] (right context).
+    """
+    m = g.shape[0]
+    halo = (m - 1) * d
+
+    def apply(x, f):
+        if adjoint:
+            ctx = _right_context(x, halo, axis_name)
+            xe = jnp.concatenate([x, ctx], axis=-1)
+            base = 0
+        else:
+            ctx = _left_context(x, halo, axis_name)
+            xe = jnp.concatenate([ctx, x], axis=-1)
+            base = halo
+        s = x.shape[-1]
+        acc = None
+        for k in range(m):
+            off = base + (k * d if adjoint else -k * d)
+            seg = lax.slice_in_dim(xe, off, off + s, axis=-1)
+            t = f[k] * seg
+            acc = t if acc is None else acc + t
+        return acc
+
+    out_v = apply(v, g)
+    out_w = apply(v if w is None else w, h)
+    return out_v, out_w
+
+
+def _modwt_shard_body(x, g, h, level, axis_name):
+    rows = []
+    v = x
+    for j in range(1, level + 1):
+        d = 1 << (j - 1)
+        v, w = _dilated_conv_shard(v, g, h, d, axis_name)
+        rows.append(w)
+    rows.append(v)
+    return jnp.stack(rows, axis=0)
+
+
+def _imodwt_shard_body(c, g, h, axis_name):
+    level = c.shape[0] - 1
+    v = c[level]
+    for j in range(level, 0, -1):
+        d = 1 << (j - 1)
+        va, wa = _dilated_conv_shard(v, g, h, d, axis_name, adjoint=True,
+                                     w=c[j - 1])
+        v = va + wa
+    return v
+
+
+def _specs(mesh: Mesh, ndim: int, signal_axis: str, batch_axis: str | None):
+    """PartitionSpec for (..., N) data: batch on leading, signal on last."""
+    names = [None] * ndim
+    if batch_axis and batch_axis in mesh.axis_names and ndim > 1:
+        names[0] = batch_axis
+    names[-1] = signal_axis
+    return P(*names)
+
+
+def modwt_sharded(x, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
+                  signal_axis: str = "signal", batch_axis: str = "data"):
+    """Forward MODWT with the signal axis sharded across ``mesh``.
+
+    Output layout matches :func:`ops.modwt.modwt`: ``(level+1, ..., N)``
+    with the last axis still sharded.  Per level the only communication is
+    one ring ppermute of ``(M−1)·2^(j−1)`` halo samples over ICI.
+    """
+    x = jnp.asarray(x)
+    _check_level(x.shape[-1], level)
+    g64, h64 = modwt_base_filters(wavelet)
+    g = jnp.asarray(g64, dtype=x.dtype)
+    h = jnp.asarray(h64, dtype=x.dtype)
+    in_spec = _specs(mesh, x.ndim, signal_axis, batch_axis)
+    out_spec = P(None, *in_spec)
+
+    n_shard = x.shape[-1] // mesh.shape[signal_axis]
+    max_halo = (g64.shape[0] - 1) * (1 << (level - 1))
+    if n_shard < 1 or max_halo > n_shard * mesh.shape[signal_axis]:
+        raise ValueError("halo exceeds total signal length")
+
+    body = functools.partial(_modwt_shard_body, level=level,
+                             axis_name=signal_axis)
+    fn = shard_map(lambda v: body(v, g, h),
+                   mesh=mesh, in_specs=(in_spec,), out_specs=out_spec)
+    return fn(x)
+
+
+def imodwt_sharded(c, wavelet: DiscreteWavelet, mesh: Mesh,
+                   signal_axis: str = "signal", batch_axis: str = "data"):
+    """Inverse MODWT with the signal axis sharded across ``mesh``."""
+    c = jnp.asarray(c)
+    g64, h64 = modwt_base_filters(wavelet)
+    g = jnp.asarray(g64, dtype=c.dtype)
+    h = jnp.asarray(h64, dtype=c.dtype)
+    inner = _specs(mesh, c.ndim - 1, signal_axis, batch_axis)
+    in_spec = P(None, *inner)
+    fn = shard_map(lambda v: _imodwt_shard_body(v, g, h, signal_axis),
+                   mesh=mesh, in_specs=(in_spec,), out_specs=inner)
+    return fn(c)
+
+
+def cwt_sharded(x, scales, wavelet, mesh: Mesh, sampling_rate: float = 1.0,
+                scale_axis: str = "scale", batch_axis: str = "data",
+                padding: str = "zero") -> CWTResult:
+    """CWT with the scale axis sharded (reference strategy P2, zero comms).
+
+    The signal FFT is computed per device (cheap, amortized over its local
+    scales); each device evaluates only its shard of ψ̂(a·ω) products.
+    """
+    import numpy as np
+
+    x = jnp.asarray(x)
+    scales_np = np.atleast_1d(np.asarray(scales, dtype=float))
+    n_dev = mesh.shape[scale_axis]
+    if scales_np.shape[0] % n_dev:
+        raise ValueError(f"n_scales {scales_np.shape[0]} not divisible by "
+                         f"mesh axis {scale_axis}={n_dev}")
+    # shard_map over the scale axis: each device FFTs the (replicated)
+    # signal once and evaluates only its local shard of ψ̂(a·ω) products —
+    # exactly the reference's per-thread work split (P2) over chips.
+    bspec = [None] * x.ndim
+    if batch_axis in mesh.axis_names and x.ndim > 1:
+        bspec[0] = batch_axis
+    lead = bspec[:-1]  # batch dims of x (last dim = signal, replicated)
+
+    def body(xl, scales_l):
+        return _cwt(xl, scales_l, wavelet, sampling_rate,
+                    padding).coefficients
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(*bspec), P(scale_axis)),
+                   out_specs=P(*lead, scale_axis, None))
+    coeffs = fn(x, jnp.asarray(scales_np))
+    dt = 1.0 / sampling_rate
+    time_axis = jnp.asarray(np.arange(x.shape[-1]) * dt)
+    return CWTResult(coeffs, jnp.asarray(scales_np), time_axis,
+                     sampling_rate, wavelet.name)
+
+
+def wpt_sharded(x, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
+                packet_axis: str = "scale", batch_axis: str = "data"):
+    """WPT with packets sharded once the tree is deep enough.
+
+    Levels 1..k (k = log2(n_dev)) run replicated-batch style via the normal
+    batched conv; beyond that the packet axis is sharded — each device owns
+    a contiguous subtree and no communication occurs (reference strategy P1:
+    ForkJoinPool over packets, ``ParallelWaveletPacketTransform.java``).
+    """
+    from ..ops.wpt import wpt as _wpt
+
+    x = jnp.asarray(x)
+    y = _wpt(x, wavelet, level)
+    n_dev = mesh.shape[packet_axis]
+    n = x.shape[-1]
+    if n % n_dev:
+        raise ValueError("signal length not divisible by packet mesh axis")
+    spec = [None] * (x.ndim - 1)
+    if batch_axis in mesh.axis_names and x.ndim > 1:
+        spec[0] = batch_axis
+    lead = x.shape[:-1]
+    # expose packets as an axis and shard it
+    yp = y.reshape(lead + (n_dev, n // n_dev))
+    yp = lax.with_sharding_constraint(
+        yp, NamedSharding(mesh, P(*spec, packet_axis, None)))
+    return yp.reshape(lead + (n,))
+
+
+def fwt2_sharded(m, wavelet: DiscreteWavelet, mesh: Mesh,
+                 batch_axis: str = "data"):
+    """2D FWT with rows data-parallel across the mesh (reference P4).
+
+    Rows transform with rows sharded; the transpose before the column pass
+    is an XLA all-to-all on ICI.
+    """
+    from ..ops.fwt import fwt2 as _fwt2
+
+    m = jnp.asarray(m)
+    m = jax.device_put(
+        m, NamedSharding(mesh, P(*([None] * (m.ndim - 2)), batch_axis, None)))
+    return _fwt2(m, wavelet)

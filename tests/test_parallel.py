@@ -1,0 +1,94 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY §4.8)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import jwave_pro_tpu as jw
+from jwave_pro_tpu.parallel import make_mesh
+from jwave_pro_tpu.parallel.sharded import (
+    cwt_sharded, fwt2_sharded, imodwt_sharded, modwt_sharded, wpt_sharded,
+)
+
+DB4 = jw.wavelet("Daubechies 4")
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 virtual devices")
+
+
+@needs8
+def test_modwt_signal_sharded_matches_single(rng):
+    mesh = make_mesh({"signal": 8})
+    x = rng.standard_normal((3, 512))
+    got = np.asarray(modwt_sharded(x, DB4, 4, mesh))
+    want = np.asarray(jw.modwt(x, DB4, 4, method="direct"))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@needs8
+def test_modwt_sharded_deep_halo_multihop(rng):
+    # Level 5 halo = 7·16 = 112 > shard (64) → multi-hop ppermute path.
+    mesh = make_mesh({"signal": 8})
+    x = rng.standard_normal(512)
+    got = np.asarray(modwt_sharded(x, DB4, 5, mesh))
+    want = np.asarray(jw.modwt(x, DB4, 5, method="direct"))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@needs8
+def test_imodwt_sharded_roundtrip(rng):
+    mesh = make_mesh({"signal": 8})
+    x = rng.standard_normal(512)
+    c = modwt_sharded(x, DB4, 4, mesh)
+    xr = np.asarray(imodwt_sharded(c, DB4, mesh))
+    np.testing.assert_allclose(xr, x, atol=1e-8)
+
+
+@needs8
+def test_modwt_2d_mesh_batch_and_signal(rng):
+    mesh = make_mesh({"data": 2, "signal": 4})
+    x = rng.standard_normal((4, 256))
+    got = np.asarray(modwt_sharded(x, DB4, 3, mesh))
+    want = np.asarray(jw.modwt(x, DB4, 3, method="direct"))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@needs8
+def test_cwt_scale_sharded_matches(rng):
+    mesh = make_mesh({"scale": 8})
+    x = rng.standard_normal(256)
+    scales = jw.generate_log_scales(1.0, 32.0, 16)
+    got = np.asarray(cwt_sharded(x, scales, jw.MorletWavelet(), mesh
+                                 ).coefficients)
+    want = np.asarray(jw.cwt(x, scales, jw.MorletWavelet()).coefficients)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@needs8
+def test_wpt_packet_sharded_matches(rng):
+    mesh = make_mesh({"scale": 8})
+    x = rng.standard_normal(1024)
+    got = np.asarray(wpt_sharded(x, DB4, 5, mesh))
+    want = np.asarray(jw.wpt(x, DB4, 5))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@needs8
+def test_fwt2_row_sharded(rng):
+    mesh = make_mesh({"data": 8})
+    m = rng.standard_normal((16, 32))
+    got = np.asarray(fwt2_sharded(m, DB4, mesh))
+    want = np.asarray(jw.fwt2(m, DB4))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@needs8
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out)))
+    ge.dryrun_multichip(8)
