@@ -1,0 +1,297 @@
+"""Streaming transforms — implemented, where the reference only scaffolds.
+
+The reference ships interfaces and a buffer (``transforms/streaming/*``) but
+``StreamingTransformFactory.create()`` throws UnsupportedOperationException
+for every transform type (``StreamingTransformFactory.java:83-113``) and
+``EfficientMODWTTransform.processChunkedMODWT`` throws too
+(``EfficientMODWTTransform.java:251-278``).  This module provides working
+TPU-native equivalents:
+
+  * :class:`CircularBuffer` — functional ring buffer (a pytree; the
+    reference's ``CircularBuffer.java`` is explicitly not thread-safe — a
+    pure-functional buffer makes that moot).
+  * :class:`StreamingMODWT` — true *incremental* updates: the MODWT is
+    causal (``W_j[t]`` reads ``x[t − k·2^(j-1)]``, k ≥ 0), so appending S
+    samples only requires recomputing the last S output columns from
+    ``halo + S`` context samples.
+  * :class:`StreamingFWT` / :class:`StreamingWPT` / :class:`StreamingCWT` /
+    :class:`StreamingFFT` — sliding-window recompute on the ring buffer
+    (these transforms are inherently non-causal block transforms).
+  * :func:`modwt_chunked` — bounded-memory chunked MODWT over an iterator
+    of chunks, carrying the causal left context; for every output index
+    ≥ halo the result is sample-exact vs the full-signal circular MODWT.
+  * :func:`streaming_transform` — the factory that actually works
+    (name parity with ``StreamingTransformFactory``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import typing
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.cwt import cwt as _cwt
+from ..ops.fft import fft as _fft
+from ..ops.fwt import fwt as _fwt
+from ..ops.modwt import modwt as _modwt, modwt_base_filters
+from ..ops.wpt import wpt as _wpt
+from ..wavelets.base import DiscreteWavelet
+
+__all__ = [
+    "CircularBuffer", "UpdateStrategy", "StreamingConfig", "StreamingMODWT",
+    "StreamingFWT", "StreamingWPT", "StreamingCWT", "StreamingFFT",
+    "modwt_chunked", "streaming_transform", "recommended_buffer_size",
+]
+
+
+class CircularBuffer(typing.NamedTuple):
+    """Functional ring buffer over the last axis (CircularBuffer.java analog)."""
+
+    data: jax.Array  # (capacity,)
+    head: jax.Array  # int32 — next write position
+    count: jax.Array  # int32 — valid samples (≤ capacity)
+
+    @classmethod
+    def create(cls, capacity: int, dtype=jnp.float32):
+        return cls(jnp.zeros((capacity,), dtype=dtype),
+                   jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[0]
+
+    def append(self, chunk: jax.Array) -> "CircularBuffer":
+        """Append samples (chunk length is static)."""
+        chunk = jnp.asarray(chunk, dtype=self.data.dtype)
+        s = chunk.shape[-1]
+        cap = self.capacity
+        if s >= cap:
+            return CircularBuffer(chunk[..., -cap:], jnp.zeros((), jnp.int32),
+                                  jnp.asarray(cap, jnp.int32))
+        # write possibly wrapping: roll buffer so head is at 0, write, roll back
+        rolled = jnp.roll(self.data, -self.head)
+        rolled = jax.lax.dynamic_update_slice(
+            rolled, chunk, (jnp.zeros((), jnp.int32),))
+        data = jnp.roll(rolled, self.head)
+        head = (self.head + s) % cap
+        count = jnp.minimum(self.count + s, cap)
+        return CircularBuffer(data, head.astype(jnp.int32),
+                              count.astype(jnp.int32))
+
+    def window(self, size: int) -> jax.Array:
+        """Most recent ``size`` samples in time order (static size)."""
+        cap = self.capacity
+        aligned = jnp.roll(self.data, -self.head)  # oldest..newest
+        return jax.lax.dynamic_slice(aligned, (cap - size,), (size,)) \
+            if size < cap else aligned
+
+    def to_array(self) -> jax.Array:
+        """Full buffer, oldest → newest."""
+        return jnp.roll(self.data, -self.head)
+
+
+class UpdateStrategy(enum.Enum):
+    """StreamingTransformConfig.UpdateStrategy parity (``:21-36``)."""
+
+    INCREMENTAL = "incremental"
+    FULL_RECOMPUTE = "full_recompute"
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingConfig:
+    """StreamingTransformConfig analog (builder pattern → plain dataclass)."""
+
+    buffer_size: int
+    max_level: int = 4
+    update_strategy: UpdateStrategy = UpdateStrategy.INCREMENTAL
+    dtype: typing.Any = jnp.float32
+
+
+def recommended_buffer_size(transform_type: str, target_latency_samples: int,
+                            max_level: int = 4) -> int:
+    """Heuristics analog of ``StreamingTransformFactory.
+    getRecommendedBufferSize`` (``:188-220``): at least 4× the level halo /
+    next pow2 for block transforms."""
+    t = transform_type.lower()
+    if t in ("fwt", "wpt", "fft", "dft"):
+        from ..utils.validation import next_power_of_two
+        return next_power_of_two(max(target_latency_samples, 1 << max_level))
+    if t == "modwt":
+        return max(target_latency_samples, 4 * (1 << max_level))
+    return max(target_latency_samples, 256)
+
+
+@dataclasses.dataclass
+class _StreamingBase:
+    """Host-side stateful wrapper (jit-compiled inner updates)."""
+
+    wavelet: DiscreteWavelet | None
+    config: StreamingConfig
+
+    def __post_init__(self):
+        self.reset()
+
+    def reset(self):
+        self.buffer = CircularBuffer.create(self.config.buffer_size,
+                                            self.config.dtype)
+
+    def get_current_buffer(self):
+        return self.buffer.to_array()
+
+
+class StreamingMODWT(_StreamingBase):
+    """Incremental MODWT over a sliding buffer.
+
+    ``update(samples)`` returns the (level+1, buffer_size) coefficient matrix
+    for the current buffer.  With INCREMENTAL strategy only the newest
+    ``len(samples)`` columns are recomputed (causality of the MODWT); with
+    FULL_RECOMPUTE the whole circular-on-buffer transform is recomputed
+    (identical to ``ops.modwt.modwt`` on the window).
+    """
+
+    def __post_init__(self):
+        super().__post_init__()
+        m = self.wavelet.length
+        self._halo = (m - 1) * ((1 << self.config.max_level) - 1)
+        self._coeffs = jnp.zeros(
+            (self.config.max_level + 1, self.config.buffer_size),
+            self.config.dtype)
+
+    def reset(self):
+        super().reset()
+        if hasattr(self, "_coeffs"):
+            self._coeffs = jnp.zeros_like(self._coeffs)
+
+    def _causal_tail(self, window, s):
+        """Coefficients for the last ``s`` positions of ``window``.
+
+        Uses the causal form: W_j[t] = Σ_k h_j[k]·x[t − k·d] with zero
+        padding on the left edge of the available context.
+        """
+        g64, h64 = modwt_base_filters(self.wavelet)
+        level = self.config.max_level
+        x = window  # (halo + s,)
+        ctx = x.shape[-1]
+        rows = []
+        v = x
+        for j in range(1, level + 1):
+            d = 1 << (j - 1)
+            m = g64.shape[0]
+            gk = jnp.asarray(g64, dtype=x.dtype)
+            hk = jnp.asarray(h64, dtype=x.dtype)
+            acc_v = acc_w = None
+            for k in range(m):
+                shifted = jnp.roll(v, k * d)  # causal: left zeros wrap, but
+                # wrapped values land in positions < halo which are dropped
+                tv = gk[k] * shifted
+                tw = hk[k] * shifted
+                acc_v = tv if acc_v is None else acc_v + tv
+                acc_w = tw if acc_w is None else acc_w + tw
+            rows.append(acc_w)
+            v = acc_v
+        rows.append(v)
+        return jnp.stack(rows)[..., ctx - s:]
+
+    def update(self, samples):
+        samples = jnp.asarray(samples, dtype=self.config.dtype)
+        s = samples.shape[-1]
+        self.buffer = self.buffer.append(samples)
+        if (self.config.update_strategy is UpdateStrategy.FULL_RECOMPUTE
+                or s + self._halo > self.config.buffer_size):
+            self._coeffs = _modwt(self.buffer.to_array(), self.wavelet,
+                                  self.config.max_level, method="direct")
+        else:
+            window = self.buffer.window(self._halo + s)
+            tail = self._causal_tail(window, s)
+            self._coeffs = jnp.roll(self._coeffs, -s, axis=-1)
+            self._coeffs = self._coeffs.at[..., -s:].set(tail)
+        return self._coeffs
+
+
+class _WindowedStreaming(_StreamingBase):
+    """FULL_RECOMPUTE sliding-window transforms (inherently non-causal)."""
+
+    def _transform(self, window):
+        raise NotImplementedError
+
+    def update(self, samples):
+        self.buffer = self.buffer.append(
+            jnp.asarray(samples, dtype=self.config.dtype))
+        return self._transform(self.buffer.to_array())
+
+
+class StreamingFWT(_WindowedStreaming):
+    def _transform(self, window):
+        return _fwt(window, self.wavelet, self.config.max_level)
+
+
+class StreamingWPT(_WindowedStreaming):
+    def _transform(self, window):
+        return _wpt(window, self.wavelet, self.config.max_level)
+
+
+class StreamingFFT(_WindowedStreaming):
+    def _transform(self, window):
+        return _fft(window)
+
+
+@dataclasses.dataclass
+class StreamingCWT(_StreamingBase):
+    scales: typing.Any = None
+    sampling_rate: float = 1.0
+
+    def update(self, samples):
+        self.buffer = self.buffer.append(
+            jnp.asarray(samples, dtype=self.config.dtype))
+        return _cwt(self.buffer.to_array(), self.scales,
+                    self.wavelet, self.sampling_rate)
+
+
+def modwt_chunked(chunks, wavelet: DiscreteWavelet, level: int):
+    """Bounded-memory chunked MODWT (EfficientMODWTTransform.
+    processChunkedMODWT, implemented).
+
+    ``chunks`` is an iterable of 1D arrays.  Yields ``(level+1, chunk_len)``
+    coefficient blocks.  The causal left context of ``(M−1)(2^level −1)``
+    samples is carried between chunks, so concatenated outputs equal the
+    full-signal MODWT at every index ≥ halo (earlier indices use zero
+    context instead of the circular wrap, which streaming cannot know).
+    """
+    m = wavelet.length
+    halo = (m - 1) * ((1 << level) - 1)
+    ctx = None
+    sm = StreamingMODWT(wavelet, StreamingConfig(buffer_size=8, max_level=level))
+    for chunk in chunks:
+        chunk = jnp.asarray(chunk)
+        s = chunk.shape[-1]
+        if ctx is None:
+            ctx = jnp.zeros(chunk.shape[:-1] + (halo,), dtype=chunk.dtype)
+        window = jnp.concatenate([ctx, chunk], axis=-1)
+        yield sm._causal_tail(window, s)
+        ctx = window[..., -halo:]  # window is always ≥ halo samples long
+
+
+_FACTORY = {
+    "fwt": StreamingFWT,
+    "wpt": StreamingWPT,
+    "modwt": StreamingMODWT,
+    "fft": StreamingFFT,
+    "cwt": StreamingCWT,
+}
+
+
+def streaming_transform(transform_type: str, wavelet=None,
+                        config: StreamingConfig | None = None, **kwargs):
+    """Factory (parity surface of ``StreamingTransformFactory.create`` —
+    which throws for every type; this one works)."""
+    t = transform_type.lower()
+    if t not in _FACTORY:
+        raise ValueError(f"unknown streaming transform {transform_type!r}; "
+                         f"known: {sorted(_FACTORY)}")
+    config = config or StreamingConfig(buffer_size=recommended_buffer_size(
+        t, 256, 4))
+    return _FACTORY[t](wavelet, config, **kwargs)

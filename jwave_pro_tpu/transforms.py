@@ -253,6 +253,27 @@ class Transform:
     def reverse(self, y, *args, **kwargs):
         return self.engine.reverse(y, *args, **kwargs)
 
+    def forward_complex(self, z, *args, **kwargs):
+        """Complex 1D input via the interleaved-real trick: the reference
+        flattens (re, im) pairs into one real array of length 2N and runs the
+        real transform on it (``BasicTransform.java:257-283``)."""
+        z = jnp.asarray(z)
+        inter = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+        inter = inter.reshape(z.shape[:-1] + (2 * z.shape[-1],))
+        out = self.engine.forward(inter, *args, **kwargs)
+        out = out.reshape(z.shape[:-1] + (z.shape[-1], 2))
+        return out[..., 0] + 1j * out[..., 1]
+
+    def reverse_complex(self, z, *args, **kwargs):
+        """Inverse of :meth:`forward_complex` (``BasicTransform.java:
+        297-322``)."""
+        z = jnp.asarray(z)
+        inter = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+        inter = inter.reshape(z.shape[:-1] + (2 * z.shape[-1],))
+        out = self.engine.reverse(inter, *args, **kwargs)
+        out = out.reshape(z.shape[:-1] + (z.shape[-1], 2))
+        return out[..., 0] + 1j * out[..., 1]
+
     def decompose(self, x):
         return self.engine.decompose(x)
 

@@ -1,0 +1,86 @@
+"""Streaming tests: ring buffer, incremental MODWT, chunked MODWT, factory."""
+import numpy as np
+import pytest
+
+import jwave_pro_tpu as jw
+from jwave_pro_tpu import streaming as st
+
+DB4 = jw.wavelet("Daubechies 4")
+
+
+def test_circular_buffer_basics():
+    b = st.CircularBuffer.create(8)
+    b = b.append(np.array([1.0, 2, 3]))
+    np.testing.assert_allclose(np.asarray(b.window(3)), [1, 2, 3])
+    b = b.append(np.array([4.0, 5, 6, 7, 8, 9]))
+    np.testing.assert_allclose(np.asarray(b.window(4)), [6, 7, 8, 9])
+    np.testing.assert_allclose(np.asarray(b.to_array()),
+                               [2, 3, 4, 5, 6, 7, 8, 9])
+    assert int(b.count) == 8
+
+
+def test_circular_buffer_oversize_append():
+    b = st.CircularBuffer.create(4)
+    b = b.append(np.arange(10.0))
+    np.testing.assert_allclose(np.asarray(b.to_array()), [6, 7, 8, 9])
+
+
+def test_streaming_modwt_incremental_matches_full(rng):
+    cfg = st.StreamingConfig(buffer_size=256, max_level=3)
+    sm = st.StreamingMODWT(DB4, cfg)
+    halo = (DB4.length - 1) * ((1 << 3) - 1)
+    sig = rng.standard_normal(1024)
+    out = None
+    for i in range(0, 1024, 64):
+        out = np.asarray(sm.update(sig[i:i + 64]))
+    # After the buffer is saturated with real data, the incremental tail
+    # columns must match the causal MODWT of the underlying signal.
+    full = np.asarray(jw.modwt(sig, DB4, 3, method="direct"))
+    # causal == circular for indices ≥ halo: compare the newest 64 columns
+    np.testing.assert_allclose(out[:, -64:], full[:, -64:], atol=1e-5)
+
+
+def test_streaming_modwt_full_recompute(rng):
+    cfg = st.StreamingConfig(buffer_size=128, max_level=2,
+                             update_strategy=st.UpdateStrategy.FULL_RECOMPUTE)
+    sm = st.StreamingMODWT(DB4, cfg)
+    sig = rng.standard_normal(128)
+    out = np.asarray(sm.update(sig))
+    want = np.asarray(jw.modwt(sig, DB4, 2, method="direct"))
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_modwt_chunked_matches_full(rng):
+    sig = rng.standard_normal(512)
+    level = 3
+    halo = (DB4.length - 1) * ((1 << level) - 1)
+    chunks = [sig[i:i + 128] for i in range(0, 512, 128)]
+    got = np.concatenate([np.asarray(c) for c in
+                          st.modwt_chunked(chunks, DB4, level)], axis=-1)
+    assert got.shape == (level + 1, 512)
+    full = np.asarray(jw.modwt(sig, DB4, level, method="direct"))
+    # exact parity for all indices ≥ halo (circular wrap only affects the head)
+    np.testing.assert_allclose(got[:, halo:], full[:, halo:], atol=1e-5)
+
+
+def test_streaming_factory():
+    s = st.streaming_transform("modwt", DB4)
+    assert isinstance(s, st.StreamingMODWT)
+    s = st.streaming_transform("fwt", DB4,
+                               st.StreamingConfig(buffer_size=64, max_level=3))
+    out = np.asarray(s.update(np.ones(64)))
+    assert out.shape == (64,)
+    with pytest.raises(ValueError, match="unknown streaming"):
+        st.streaming_transform("nope")
+
+
+def test_streaming_fft():
+    s = st.streaming_transform("fft", None,
+                               st.StreamingConfig(buffer_size=16))
+    out = np.asarray(s.update(np.ones(16)))
+    assert abs(out[0] - 16.0) < 1e-6
+
+
+def test_recommended_buffer_size():
+    assert st.recommended_buffer_size("fwt", 100, 4) == 128
+    assert st.recommended_buffer_size("modwt", 10, 4) == 64
