@@ -7,7 +7,7 @@ from .modwt import (
     imodwt, modwt, modwt_base_filters, modwt_mra,
 )
 from .wpt import (
-    basis_coefficients, best_basis, iwpt, log_energy_cost,
+    basis_coefficients, basis_reconstruct, best_basis, iwpt, log_energy_cost,
     shannon_entropy_cost, sure_cost, threshold_cost, wpt, wpt_tree,
 )
 
@@ -17,6 +17,6 @@ __all__ = [
     "MAX_DECOMPOSITION_LEVEL", "circular_convolve",
     "circular_convolve_adjoint", "imodwt", "modwt", "modwt_base_filters",
     "modwt_mra",
-    "basis_coefficients", "best_basis", "iwpt", "log_energy_cost",
+    "basis_coefficients", "basis_reconstruct", "best_basis", "iwpt", "log_energy_cost",
     "shannon_entropy_cost", "sure_cost", "threshold_cost", "wpt", "wpt_tree",
 ]

@@ -180,6 +180,33 @@ def best_basis(x: jax.Array, wavelet: DiscreteWavelet, level=None,
     return masks, best[0], tree
 
 
+def basis_reconstruct(flat: jax.Array, masks, wavelet: DiscreteWavelet
+                      ) -> jax.Array:
+    """Reconstruct the signal from a best-basis coefficient array.
+
+    ``flat`` is the mixed-level representation from
+    :func:`basis_coefficients`; ``masks`` the per-level leaf masks from
+    :func:`best_basis`.  jit-friendly: at each level a full synthesis pass
+    runs and a mask selects, per span, whether that span was actually
+    represented at the deeper level.
+    """
+    flat = jnp.asarray(flat)
+    n = flat.shape[-1]
+    level = len(masks) - 1
+    lead = flat.shape[:-1]
+    # active_l[pos] = True iff the leaf covering pos sits at level ≥ l
+    cur = flat
+    for l in range(level, 0, -1):
+        active = jnp.zeros((n,), dtype=bool)
+        for lp in range(l, level + 1):
+            active = active | jnp.repeat(masks[lp], n >> lp)
+        width = n >> (l - 1)  # parent packet width after synthesis
+        packets = cur.reshape(lead + (n // width, width))
+        syn = synthesis_step(packets, wavelet).reshape(lead + (n,))
+        cur = jnp.where(active, syn, cur)
+    return cur
+
+
 def basis_coefficients(tree: jax.Array, masks) -> jax.Array:
     """Flatten a best-basis selection into one length-N coefficient array.
 

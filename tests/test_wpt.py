@@ -89,3 +89,27 @@ def test_symlet8_level6_65536(rng):
     y = jw.wpt(x, SYM8, 6)
     xr = np.asarray(jw.iwpt(y, SYM8, 6))
     np.testing.assert_allclose(xr, x, atol=1e-7)
+
+
+def test_basis_reconstruct_roundtrip(rng):
+    x = rng.standard_normal(64)
+    for wname in ("Haar", "Symlet 8"):
+        w = jw.wavelet(wname)
+        masks, _, tree = jw.best_basis(x, w, 4)
+        flat = jw.basis_coefficients(tree, masks)
+        xr = np.asarray(jw.basis_reconstruct(flat, masks, w))
+        np.testing.assert_allclose(xr, x, atol=1e-8, err_msg=wname)
+
+
+def test_basis_reconstruct_under_jit(rng):
+    import jax
+    x = rng.standard_normal(32)
+    w = jw.wavelet("Daubechies 4")
+
+    @jax.jit
+    def roundtrip(v):
+        masks, cost, tree = jw.best_basis(v, w, 3)
+        flat = jw.basis_coefficients(tree, masks)
+        return jw.basis_reconstruct(flat, masks, w)
+
+    np.testing.assert_allclose(np.asarray(roundtrip(x)), x, atol=1e-8)
