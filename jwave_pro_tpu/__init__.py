@@ -30,6 +30,7 @@ from .ops.cwt import (  # noqa: F401
     CWTResult, cwt, cwt_direct, generate_linear_scales, generate_log_scales,
 )
 from .ops.fft import fft, ifft  # noqa: F401
+from .ops.lifting import cdf53, cdf97, icdf53, icdf97  # noqa: F401
 from .ops.arbitrary import (  # noqa: F401
     aed_forward, aed_inverse, swt_forward, swt_inverse,
 )

@@ -113,3 +113,20 @@ def test_basis_reconstruct_under_jit(rng):
         return jw.basis_reconstruct(flat, masks, w)
 
     np.testing.assert_allclose(np.asarray(roundtrip(x)), x, atol=1e-8)
+
+
+def test_lifting_cdf_roundtrip_and_moments(rng):
+    from jwave_pro_tpu.ops import lifting
+    x = rng.standard_normal(64)
+    for scheme, f, i in (("cdf53", lifting.cdf53, lifting.icdf53),
+                         ("cdf97", lifting.cdf97, lifting.icdf97)):
+        y = f(x)
+        np.testing.assert_allclose(np.asarray(i(y)), x, atol=1e-10,
+                                   err_msg=scheme)
+    # CDF 5/3 has 2 vanishing moments: constant signal -> zero details
+    # (periodic boundary keeps linears only approximately at the wrap).
+    const = np.full(32, 2.5)
+    y = np.asarray(lifting.cdf53(const, level=1))
+    np.testing.assert_allclose(y[16:], 0.0, atol=1e-12)
+    y97 = np.asarray(lifting.cdf97(const, level=1))
+    np.testing.assert_allclose(y97[16:], 0.0, atol=1e-9)
