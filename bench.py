@@ -26,16 +26,6 @@ import jwave_pro_tpu as jw  # noqa: E402
 TARGET = 1e9  # samples/s/chip (BASELINE.json north star)
 
 
-def _fetch(out):
-    """Force real device completion: reduce to a scalar and pull it to host.
-
-    (block_until_ready alone does not reliably block through the axon
-    tunnel — measured 7.6 TB/s "bandwidth" without this.)
-    """
-    leaves = jax.tree_util.tree_leaves(out)
-    return float(jnp.sum(leaves[0].ravel()[:16]))
-
-
 def _time_chain(step, x, k_short=2, k_long=8, repeats=3):
     """Time one application of ``step`` by differencing two chain lengths.
 
@@ -64,13 +54,7 @@ def _time_chain(step, x, k_short=2, k_long=8, repeats=3):
     return best
 
 
-def _time(fn, *args, warmup=2, iters=5):
-    _fetch(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _fetch(out)
-    return (time.perf_counter() - t0) / iters
+
 
 
 def bench_modwt(dtype=jnp.float32, batch=32, n=1 << 20, level=5,
@@ -91,9 +75,10 @@ def bench_modwt_roundtrip(dtype=jnp.float32, batch=8, n=1 << 20, level=5):
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
                     dtype=dtype)
-    f = jax.jit(lambda v: jw.imodwt(jw.modwt(v, w, level), w))
-    dt = _time(f, x)
-    err = float(jnp.max(jnp.abs(f(x) - x)))
+    dt = _time_chain(lambda v: jw.imodwt(jw.modwt(v, w, level), w), x)
+    err = float(jax.jit(
+        lambda v: jnp.max(jnp.abs(jw.imodwt(jw.modwt(v, w, level), w) - v))
+    )(x))
     return batch * n / dt, err
 
 
@@ -101,8 +86,7 @@ def bench_fwt(dtype=jnp.float32, batch=32, n=1 << 20):
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
                     dtype=dtype)
-    f = jax.jit(lambda v: jw.fwt(v, w))
-    dt = _time(f, x)
+    dt = _time_chain(lambda v: jw.fwt(v, w), x)
     return batch * n / dt
 
 
@@ -110,8 +94,7 @@ def bench_fwt2d(dtype=jnp.float32, batch=16, n=1024):
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n)),
                     dtype=dtype)
-    f = jax.jit(lambda v: jw.fwt2(v, w))
-    dt = _time(f, x)
+    dt = _time_chain(lambda v: jw.fwt2(v, w), x)
     return batch * n * n / dt
 
 
@@ -119,8 +102,7 @@ def bench_wpt(dtype=jnp.float32, batch=64, n=65536, level=6):
     w = jw.wavelet("Symlet 8")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
                     dtype=dtype)
-    f = jax.jit(lambda v: jw.wpt(v, w, level))
-    dt = _time(f, x)
+    dt = _time_chain(lambda v: jw.wpt(v, w, level), x)
     return batch * n / dt
 
 
@@ -129,8 +111,11 @@ def bench_cwt(dtype=jnp.float32, batch=16, n=4096, n_scales=64):
     scales = jw.generate_log_scales(1.0, 256.0, n_scales)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
                     dtype=dtype)
-    f = jax.jit(lambda v: jw.cwt(v, scales, wav, 1.0).coefficients)
-    dt = _time(f, x)
+    def step(v):
+        c = jw.cwt(v, scales, wav, 1.0).coefficients
+        return jnp.real(c[..., 0, :]) + jnp.imag(c[..., -1, :])
+
+    dt = _time_chain(step, x)
     return batch * n / dt  # input samples/s (each producing 64 scales)
 
 

@@ -18,7 +18,23 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "P", "NamedSharding", "shard_batch", "shard_signal"]
+__all__ = ["make_mesh", "P", "NamedSharding", "shard_batch", "shard_signal",
+           "init_distributed"]
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize multi-host JAX (``jax.distributed.initialize`` wrapper).
+
+    On TPU pods the arguments are auto-detected from the environment; call
+    this once per process before any backend use, then build meshes over
+    ``jax.devices()`` (global).  Axes laid out so that intra-host/ICI
+    neighbors carry the ``signal`` halo ring and DCN only carries the
+    ``data`` (batch) axis, which needs no in-kernel collectives.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
 
 
 def make_mesh(shape: dict[str, int] | None = None,
