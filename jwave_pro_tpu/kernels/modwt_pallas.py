@@ -98,17 +98,18 @@ def _inverse_kernel(c_hbm, out_ref, scratch, sem, *, g, h, level, halo, tile):
     copy.start()
     copy.wait()
     v = scratch[level, :, :]  # (S, tile + halo); garbage creeps from right
+    width = tile + halo
     for lvl in range(level, 0, -1):
         d = 1 << (lvl - 1)
         wrow = scratch[lvl - 1, :, :]
         acc = None
         for k in range(m):
-            # adj: output[n] needs input[n + k·d] → roll left by k·d
-            # (pltpu.roll requires non-negative shift: roll right by W-k·d)
-            width = v.shape[1]
-            seg_v = pltpu.roll(v, width - k * d, 1) if k else v
-            seg_w = pltpu.roll(wrow, width - k * d, 1) if k else wrow
-            t = g[k] * seg_v + h[k] * seg_w
+            # adj: out[n] = Σ_k g[k]·v[n+kd] + h[k]·w[n+kd]
+            #            = Σ_k roll(g[k]·v + h[k]·w, −kd)[n]
+            # → combine the two branches BEFORE rolling: one roll per tap.
+            # (pltpu.roll needs non-negative shift: left kd ≡ right width−kd)
+            t = g[k] * v + h[k] * wrow
+            t = pltpu.roll(t, width - k * d, 1) if k else t
             acc = t if acc is None else acc + t
         v = acc
     out_ref[:, :] = v[:, :tile]

@@ -246,9 +246,25 @@ def imodwt(coeffs: jax.Array, wavelet: DiscreteWavelet,
         method = "auto"
     g, h = modwt_base_filters(wavelet)
     v = coeffs[level]
+    n = coeffs.shape[-1]
     for j in range(level, 0, -1):
-        va, wa = _level_conv(v, g, h, j, method, adjoint=True, w=coeffs[j - 1])
-        v = va + wa
+        d = 1 << (j - 1)
+        if _use_fft(method, n, g.shape[0], d):
+            va, wa = _level_conv(v, g, h, j, method, adjoint=True,
+                                 w=coeffs[j - 1])
+            v = va + wa
+        else:
+            # adj_g(v) + adj_h(w) = Σ_k roll(g[k]·v + h[k]·w, −k·d):
+            # combining before the roll halves the roll count.
+            gk = jnp.asarray(g, dtype=v.dtype)
+            hk = jnp.asarray(h, dtype=v.dtype)
+            w_row = coeffs[j - 1]
+            acc = None
+            for k in range(g.shape[0]):
+                t = gk[k] * v + hk[k] * w_row
+                t = jnp.roll(t, -k * d, axis=-1) if k else t
+                acc = t if acc is None else acc + t
+            v = acc
     return v
 
 
