@@ -144,19 +144,42 @@ class MODWTTransform(BaseTransform):
     wavelet: DiscreteWavelet
     method: str = "auto"
 
-    def forward_1d(self, x, level):
+    def forward_1d(self, x, level=None):
+        if level is None:
+            # auto level = log2(N) (MODWTTransform.java:858-861; like the
+            # reference this raises when it exceeds the level-13 cap)
+            from .utils.validation import exponent
+
+            level = exponent(jnp.asarray(x).shape[-1])
         return _modwt_f(x, self.wavelet, level, self.method)
 
     def reverse_1d(self, c):
         return _imodwt(c, self.wavelet, self.method)
 
     # flat-interface parity (MODWTTransform.java:854-912): (level+1)·N array
-    def forward_flat(self, x, level):
-        c = _modwt_f(x, self.wavelet, level, self.method)
+    def forward_flat(self, x, level=None):
+        c = self.forward_1d(x, level)
         return c.reshape((-1,))
 
-    def reverse_flat(self, flat, n):
-        c = jnp.asarray(flat).reshape((-1, n))
+    def reverse_flat(self, flat, n=None):
+        flat = jnp.asarray(flat)
+        if n is None:
+            # auto shape detection: smallest pow-2 N with total = N·(lvl+1)
+            # and lvl ≤ log2(N) (MODWTTransform.java:884-901)
+            from .utils.validation import exponent, is_power_of_two
+
+            total = flat.shape[-1]
+            for test_n in range(1, total + 1):
+                if total % test_n == 0 and is_power_of_two(test_n):
+                    lvl = total // test_n - 1
+                    if 0 <= lvl <= exponent(test_n):
+                        n = test_n
+                        break
+            if n is None:
+                raise ValueError("cannot determine signal dimensions from "
+                                 "flattened coefficient length "
+                                 f"{total} [parity: MODWTTransform.java:899]")
+        c = flat.reshape((-1, n))
         return _imodwt(c, self.wavelet, self.method)
 
     def mra(self, x, level):

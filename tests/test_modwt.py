@@ -123,3 +123,13 @@ def test_jit_and_grad(rng):
     np.testing.assert_allclose(np.asarray(roundtrip(x)), x, atol=1e-8)
     g = jax.grad(lambda v: jw.modwt(v, DB4, 2).sum())(x)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_flat_interface_auto_detection(rng):
+    # MODWT1DInterfaceTest analog: flat forward + auto shape detect reverse.
+    t = jw.MODWTTransform(DB4, method="direct")
+    x = rng.standard_normal(64)
+    flat = np.asarray(t.forward_flat(x))
+    assert flat.shape == (64 * 7,)  # log2(64)=6 levels + V_6
+    xr = np.asarray(t.reverse_flat(flat))
+    np.testing.assert_allclose(xr, x, atol=1e-8)
