@@ -135,6 +135,16 @@ class WaveletPacketTransform(BaseTransform):
     def best_basis(self, x, level=None, cost="shannon"):
         return _best_basis(x, self.wavelet, level, cost)
 
+    def decompose(self, x):
+        """All-level WPT matrix (generic ``WaveletTransform.decompose``,
+        ``WaveletTransform.java:136-146``, applied to the packet engine)."""
+        from .ops.wpt import wpt_tree
+
+        return wpt_tree(x, self.wavelet)
+
+    def recompose(self, mat, level):
+        return _iwpt(mat[level], self.wavelet, level)
+
 
 @dataclasses.dataclass(frozen=True)
 class MODWTTransform(BaseTransform):
