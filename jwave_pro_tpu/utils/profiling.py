@@ -38,6 +38,8 @@ def measure_samples_per_sec(step, x, k_short=2, k_long=8, repeats=3):
         float(long(x))
         t_l = time.perf_counter() - t0
         best = min(best, (t_l - t_s) / (k_long - k_short))
+    # timing noise can drive the difference to ~0 for trivial steps
+    best = max(best, 1e-9)
     return x.size / best
 
 
