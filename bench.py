@@ -19,6 +19,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: remote (tunnel) compiles cost 10-60 s each;
+# cache them across processes/rounds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jwave_pro_tpu as jw  # noqa: E402
@@ -26,7 +33,7 @@ import jwave_pro_tpu as jw  # noqa: E402
 TARGET = 1e9  # samples/s/chip (BASELINE.json north star)
 
 
-def _time_chain(step, x, k_short=2, k_long=8, repeats=3):
+def _time_chain(step, x, k_short=1, k_long=3, repeats=3):
     """Time one application of ``step`` by differencing two chain lengths.
 
     ``step`` must map x → array of x's shape; the chain serializes
