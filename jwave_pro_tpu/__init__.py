@@ -12,8 +12,9 @@ vmap, grad and shard.  Wavelet filter banks are host-side float64 constants.
 """
 
 from .wavelets import (
-    DiscreteWavelet, good_wavelets, qmf_biorthogonal, qmf_orthonormal,
-    wavelet, wavelet_names,
+    DiscreteWavelet, biorthogonal, coiflet, daubechies, good_wavelets,
+    legendre, qmf_biorthogonal, qmf_orthonormal, symlet, wavelet,
+    wavelet_names,
 )
 from .ops import (  # noqa: F401
     MAX_DECOMPOSITION_LEVEL, analysis_step, basis_coefficients, basis_reconstruct, best_basis,

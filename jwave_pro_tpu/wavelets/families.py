@@ -149,3 +149,26 @@ def wavelet_names(include_rejected: bool = False):
 def good_wavelets():
     """All wavelets passing perfect-reconstruction tests (create2arr analog)."""
     return [w for n, w in sorted(REGISTRY.items()) if n not in _NOT_PR_SAFE]
+
+
+# -- family helpers (API sugar) ---------------------------------------------
+
+def daubechies(n: int) -> DiscreteWavelet:
+    """Daubechies N (2N taps), N in 2..20; N=1 is Haar."""
+    return wavelet("Haar") if n == 1 else wavelet(f"Daubechies {n}")
+
+
+def symlet(n: int) -> DiscreteWavelet:
+    return wavelet(f"Symlet {n}")
+
+
+def coiflet(n: int) -> DiscreteWavelet:
+    return wavelet(f"Coiflet {n}")
+
+
+def biorthogonal(p: int, q: int) -> DiscreteWavelet:
+    return wavelet(f"BiOrthogonal {p}/{q}")
+
+
+def legendre(n: int) -> DiscreteWavelet:
+    return wavelet(f"Legendre {n}")
