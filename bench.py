@@ -131,6 +131,7 @@ def main():
     results["modwt_db4_L5"] = bench_modwt()
     if os.environ.get("JWAVE_BENCH_ALL"):
         results["modwt_roundtrip"], err = bench_modwt_roundtrip()
+        results["modwt_bf16"] = bench_modwt(dtype=jnp.bfloat16)
         results["modwt_xla_direct"] = bench_modwt(method="direct")
         results["modwt_fft_method"] = bench_modwt(method="fft", batch=8)
         results["fwt_db4_1m"] = bench_fwt()

@@ -17,6 +17,8 @@ recursively on the prefix of the array.
 """
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 
 import jax
@@ -47,6 +49,79 @@ def _filters(wavelet: DiscreteWavelet, dtype):
             (wavelet.dec_lo, wavelet.dec_hi, wavelet.rec_lo, wavelet.rec_hi))
 
 
+_BLK = 256  # input block width for the MXU step (outputs 128 lo + 128 hi)
+
+
+@_functools.lru_cache(maxsize=None)
+def _analysis_matrix(wavelet: DiscreteWavelet, dtype_name: str):
+    """(2·BLK, BLK) banded constant: block-pair inputs → [lo(128) | hi(128)].
+
+    Column v<128: lo_i with i = 128·a + v ⇒ rows 2v+j weight dec_lo[j];
+    column v≥128: hi likewise.  The stride-2 downsample is absorbed into the
+    matrix so the step is one large matmul on the MXU (keep matmuls large
+    and batched — no strided lane ops, which dominate the roll formulation
+    at ~10× the cost on TPU).
+    """
+    m = wavelet.length
+    w = np.zeros((2 * _BLK, _BLK), dtype=np.float64)
+    for v in range(128):
+        for j in range(m):
+            w[(2 * v + j) % (2 * _BLK), v] += wavelet.dec_lo[j]
+            w[(2 * v + j) % (2 * _BLK), 128 + v] += wavelet.dec_hi[j]
+    return jnp.asarray(w, dtype=dtype_name)
+
+
+@_functools.lru_cache(maxsize=None)
+def _synthesis_matrices(wavelet: DiscreteWavelet, dtype_name: str):
+    """Two (2·BLKH, BLK) constants A, B with x_blk = lo_pair@A + hi_pair@B.
+
+    Row u indexes lo/hi element i = 128·(a−1) + u over the previous+current
+    half-blocks; column k the output sample 256·a + k; weight rec_lo/rec_hi
+    [k + 256 − 2u] where in range (adjoint of the analysis band structure).
+    """
+    m = wavelet.length
+    a = np.zeros((2 * 128, _BLK), dtype=np.float64)
+    b = np.zeros((2 * 128, _BLK), dtype=np.float64)
+    for u in range(2 * 128):
+        for k in range(_BLK):
+            j = k + 256 - 2 * u
+            if 0 <= j < m:
+                a[u, k] += wavelet.rec_lo[j] * wavelet.energy_correction
+                b[u, k] += wavelet.rec_hi[j] * wavelet.energy_correction
+    return (jnp.asarray(a, dtype=dtype_name), jnp.asarray(b, dtype=dtype_name))
+
+
+def _analysis_step_matmul(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
+    h = x.shape[-1]
+    k = h // _BLK
+    lead = x.shape[:-1]
+    xb = x.reshape(lead + (k, _BLK))
+    pairs = jnp.concatenate([xb, jnp.roll(xb, -1, axis=-2)], axis=-1)
+    w = _analysis_matrix(wavelet, jnp.dtype(x.dtype).name)
+    out = jnp.einsum("...ku,uv->...kv", pairs, w,
+                     preferred_element_type=x.dtype)
+    lo = out[..., :128].reshape(lead + (h // 2,))
+    hi = out[..., 128:].reshape(lead + (h // 2,))
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _synthesis_step_matmul(y: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
+    h = y.shape[-1]
+    half = h // 2
+    k = half // 128
+    lead = y.shape[:-1]
+    lo = y[..., :half].reshape(lead + (k, 128))
+    hi = y[..., half:].reshape(lead + (k, 128))
+    lo_pair = jnp.concatenate([jnp.roll(lo, 1, axis=-2), lo], axis=-1)
+    hi_pair = jnp.concatenate([jnp.roll(hi, 1, axis=-2), hi], axis=-1)
+    a, b = _synthesis_matrices(wavelet, jnp.dtype(y.dtype).name)
+    out = (jnp.einsum("...ku,uv->...kv", lo_pair, a,
+                      preferred_element_type=y.dtype)
+           + jnp.einsum("...ku,uv->...kv", hi_pair, b,
+                        preferred_element_type=y.dtype))
+    return out.reshape(lead + (h,))
+
+
 def analysis_step(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     """One filter-bank analysis step on the last axis (length h, even).
 
@@ -63,6 +138,8 @@ def analysis_step(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     """
     h = x.shape[-1]
     m = wavelet.length
+    if h % _BLK == 0 and m <= _BLK:
+        return _analysis_step_matmul(x, wavelet)
     g = np.asarray(wavelet.dec_lo, dtype=x.dtype)
     f = np.asarray(wavelet.dec_hi, dtype=x.dtype)
     xe = x[..., 0::2]
@@ -91,6 +168,8 @@ def synthesis_step(y: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     """
     h = y.shape[-1]
     m = wavelet.length
+    if h % _BLK == 0 and m <= _BLK:
+        return _synthesis_step_matmul(y, wavelet)
     if h % 2 == 0:
         # Polyphase adjoint (all-VPU): even outputs x_e[p] = Σ_m rl[2m]·
         # roll(lo, m)[p] + rh[2m]·roll(hi, m)[p]; odd outputs likewise with
