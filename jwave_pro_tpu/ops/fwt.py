@@ -3,11 +3,17 @@
 The reference's per-level step is a scalar double loop with circular indexing
 ``k = (2i + j) mod h`` (``jwave/transforms/wavelets/Wavelet.java:236-303``) and
 the pyramid runs that step on a shrinking prefix
-(``jwave/transforms/FastWaveletTransform.java:71-153``).  Here each level is a
-single strided convolution (``lax.conv_general_dilated``) over circularly
-wrap-extended input, batched over all leading axes — the 2D/3D separable loops
-of ``BasicTransform.java:361-659`` and the row/column fork-join of
-``ParallelTransform.java`` collapse into one batched conv per axis per level.
+(``jwave/transforms/FastWaveletTransform.java:71-153``).  Here each level is
+ONE batched op over all leading axes — the 2D/3D separable loops of
+``BasicTransform.java:361-659`` and the row/column fork-join of
+``ParallelTransform.java`` collapse into it.  Two formulations, picked by
+width:
+
+  * width ≥ 256: a block-pair matmul on the MXU — the stride-2 downsample
+    and the filter taps are absorbed into a banded ``(512, 256)`` constant,
+    so there are no strided lane ops at all (measured ~10× the throughput of
+    lane-strided phase splitting on TPU);
+  * small/odd widths: an even/odd polyphase roll+FMA form on the VPU.
 
 Level loops are unrolled in Python: shapes halve every level (≤ ~30 levels),
 so everything under ``jit`` stays static-shaped.

@@ -154,6 +154,18 @@ class MODWTTransform(BaseTransform):
     wavelet: DiscreteWavelet
     method: str = "auto"
 
+    def forward(self, x, level=None):
+        """Batched over leading axes; last axis is the signal."""
+        return self.forward_1d(x, level)
+
+    def reverse(self, c):
+        """1D input = flattened coefficients (auto shape detection); ≥2D
+        input = the (level+1, ..., N) coefficient matrix."""
+        c = jnp.asarray(c)
+        if c.ndim == 1:
+            return self.reverse_flat(c)
+        return self.reverse_1d(c)
+
     def forward_1d(self, x, level=None):
         if level is None:
             # auto level = log2(N) (MODWTTransform.java:858-861; like the

@@ -164,3 +164,26 @@ def test_thresholds():
                                [-2.0, 0.0, 0.0, 2.0])
     np.testing.assert_allclose(np.asarray(jw.hard_threshold(c, 1.0)),
                                [-3.0, 0.0, 0.0, 3.0])
+
+
+def test_wpt_2d_facade_roundtrip(rng):
+    t = jw.WaveletPacketTransform(jw.wavelet("Daubechies 4"))
+    m = rng.standard_normal((16, 32))
+    y = t.forward(m)
+    np.testing.assert_allclose(np.asarray(t.reverse(y)), m, atol=1e-8)
+
+
+def test_aed_facade(rng):
+    inner = jw.FastWaveletTransform(jw.wavelet("Haar"))
+    t = jw.Transform(jw.AncientEgyptianDecomposition(inner))
+    x = rng.standard_normal(42)
+    np.testing.assert_allclose(np.asarray(t.reverse(t.forward(x))), x,
+                               atol=1e-8)
+
+
+def test_modwt_via_builder(rng):
+    t = jw.build_transform("Maximal Overlap Discrete Wavelet Transform",
+                           "Daubechies 4")
+    x = rng.standard_normal(64)
+    c = t.forward(x, 3)
+    np.testing.assert_allclose(np.asarray(t.reverse(c)), x, atol=1e-8)
