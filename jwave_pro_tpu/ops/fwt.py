@@ -74,7 +74,9 @@ def _analysis_matrix(wavelet: DiscreteWavelet, dtype_name: str):
         for j in range(m):
             w[(2 * v + j) % (2 * _BLK), v] += wavelet.dec_lo[j]
             w[(2 * v + j) % (2 * _BLK), 128 + v] += wavelet.dec_hi[j]
-    return jnp.asarray(w, dtype=dtype_name)
+    # cache HOST numpy (a jnp array created inside a trace would leak the
+    # tracer into later traces through the lru_cache)
+    return np.asarray(w, dtype=dtype_name)
 
 
 @_functools.lru_cache(maxsize=None)
@@ -94,7 +96,7 @@ def _synthesis_matrices(wavelet: DiscreteWavelet, dtype_name: str):
             if 0 <= j < m:
                 a[u, k] += wavelet.rec_lo[j] * wavelet.energy_correction
                 b[u, k] += wavelet.rec_hi[j] * wavelet.energy_correction
-    return (jnp.asarray(a, dtype=dtype_name), jnp.asarray(b, dtype=dtype_name))
+    return (np.asarray(a, dtype=dtype_name), np.asarray(b, dtype=dtype_name))
 
 
 def _analysis_step_matmul(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
@@ -103,7 +105,7 @@ def _analysis_step_matmul(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     lead = x.shape[:-1]
     xb = x.reshape(lead + (k, _BLK))
     pairs = jnp.concatenate([xb, jnp.roll(xb, -1, axis=-2)], axis=-1)
-    w = _analysis_matrix(wavelet, jnp.dtype(x.dtype).name)
+    w = jnp.asarray(_analysis_matrix(wavelet, jnp.dtype(x.dtype).name))
     out = jnp.einsum("...ku,uv->...kv", pairs, w,
                      preferred_element_type=x.dtype)
     lo = out[..., :128].reshape(lead + (h // 2,))
@@ -121,6 +123,8 @@ def _synthesis_step_matmul(y: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     lo_pair = jnp.concatenate([jnp.roll(lo, 1, axis=-2), lo], axis=-1)
     hi_pair = jnp.concatenate([jnp.roll(hi, 1, axis=-2), hi], axis=-1)
     a, b = _synthesis_matrices(wavelet, jnp.dtype(y.dtype).name)
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
     out = (jnp.einsum("...ku,uv->...kv", lo_pair, a,
                       preferred_element_type=y.dtype)
            + jnp.einsum("...ku,uv->...kv", hi_pair, b,
