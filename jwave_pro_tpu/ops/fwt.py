@@ -40,16 +40,6 @@ __all__ = [
 ]
 
 
-def _wrap_extend(x: jax.Array, total: int) -> jax.Array:
-    """Circularly extend the last axis of ``x`` to ``total`` samples."""
-    h = x.shape[-1]
-    if total <= h:
-        return x[..., :total]
-    reps = -(-total // h)  # ceil
-    return jnp.concatenate([x] * (reps + 1), axis=-1)[..., :total] if reps > 1 \
-        else jnp.concatenate([x, x[..., : total - h]], axis=-1)
-
-
 def _filters(wavelet: DiscreteWavelet, dtype):
     return (jnp.asarray(f, dtype=dtype) for f in
             (wavelet.dec_lo, wavelet.dec_hi, wavelet.rec_lo, wavelet.rec_hi))
