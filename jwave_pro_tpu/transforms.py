@@ -343,6 +343,8 @@ def build_transform(name: str, wavelet_name: str = "Haar") -> Transform:
     41-93``) extended with the engines the reference builder omits."""
     key = name.strip().lower()
     if key not in _TRANSFORMS:
-        raise ValueError(
+        from .exceptions import NotKnown
+
+        raise NotKnown(
             f"unknown transform {name!r}; known: {sorted(_TRANSFORMS)}")
     return Transform(_TRANSFORMS[key](wavelet_name))

@@ -7,6 +7,8 @@ static Python ints (shapes), never on traced values.
 """
 from __future__ import annotations
 
+from ..exceptions import NotValid
+
 __all__ = [
     "is_power_of_two", "next_power_of_two", "exponent", "check_power_of_two",
     "max_level", "ancient_egyptian_decomposition",
@@ -32,7 +34,7 @@ def exponent(n: int) -> int:
 
 def check_power_of_two(n: int) -> None:
     if not is_power_of_two(n):
-        raise ValueError(
+        raise NotValid(
             f"signal length {n} is not a power of 2 — use the MODWT, the "
             "Ancient Egyptian Decomposition wrapper, or the Shifting Wavelet "
             "Transform for arbitrary lengths "
@@ -47,7 +49,7 @@ def max_level(n: int, transform_wavelength: int = 2) -> int:
     ``_transformWavelength`` (``FastWaveletTransform.java:90-97``).
     """
     if not is_power_of_two(n):
-        raise ValueError(f"length {n} not a power of two")
+        raise NotValid(f"length {n} not a power of two")
     lvl = 0
     h = n
     while h >= max(transform_wavelength, 2) and h >= 2:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..exceptions import NotKnown
 from ._taps import TAPS
 from .base import (  # noqa: F401
     DiscreteWavelet, qmf_biorthogonal, qmf_orthonormal,
@@ -136,7 +137,7 @@ def wavelet(name, *, unsafe: bool = False) -> DiscreteWavelet:
             "algorithm (odd tap count); pass unsafe=True to build it anyway. "
             "[parity: WaveletBuilder.java:363-385 throws here]"
         )
-    raise ValueError(f"Unknown wavelet {name!r}. Known: {sorted(REGISTRY)}")
+    raise NotKnown(f"Unknown wavelet {name!r}. Known: {sorted(REGISTRY)}")
 
 
 def wavelet_names(include_rejected: bool = False):
