@@ -45,6 +45,7 @@ __all__ = [
     "CircularBuffer", "UpdateStrategy", "StreamingConfig", "StreamingMODWT",
     "StreamingFWT", "StreamingWPT", "StreamingCWT", "StreamingFFT",
     "modwt_chunked", "streaming_transform", "recommended_buffer_size",
+    "save_state", "load_state",
 ]
 
 
@@ -295,3 +296,30 @@ def streaming_transform(transform_type: str, wavelet=None,
     config = config or StreamingConfig(buffer_size=recommended_buffer_size(
         t, 256, 4))
     return _FACTORY[t](wavelet, config, **kwargs)
+
+
+# -- checkpoint/resume (SURVEY §5.4: absent in the reference; streaming state
+#    here is an explicit pytree, so persistence is trivial) ------------------
+
+def save_state(stream, path: str) -> None:
+    """Persist a streaming transform's state (ring buffer + caches) to .npz."""
+    payload = {
+        "data": np.asarray(stream.buffer.data),
+        "head": np.asarray(stream.buffer.head),
+        "count": np.asarray(stream.buffer.count),
+    }
+    if hasattr(stream, "_coeffs"):
+        payload["coeffs"] = np.asarray(stream._coeffs)
+    np.savez(path, **payload)
+
+
+def load_state(stream, path: str) -> None:
+    """Restore state saved by :func:`save_state` into ``stream`` (in place)."""
+    z = np.load(path if str(path).endswith(".npz") else path + ".npz")
+    stream.buffer = CircularBuffer(
+        jnp.asarray(z["data"]),
+        jnp.asarray(z["head"]),
+        jnp.asarray(z["count"]),
+    )
+    if "coeffs" in z and hasattr(stream, "_coeffs"):
+        stream._coeffs = jnp.asarray(z["coeffs"])

@@ -84,3 +84,18 @@ def test_streaming_fft():
 def test_recommended_buffer_size():
     assert st.recommended_buffer_size("fwt", 100, 4) == 128
     assert st.recommended_buffer_size("modwt", 10, 4) == 64
+
+
+def test_checkpoint_resume(tmp_path, rng):
+    cfg = st.StreamingConfig(buffer_size=128, max_level=3)
+    s1 = st.StreamingMODWT(DB4, cfg)
+    sig = rng.standard_normal(256)
+    for i in range(0, 192, 64):
+        s1.update(sig[i:i + 64])
+    path = str(tmp_path / "state.npz")
+    st.save_state(s1, path)
+    s2 = st.StreamingMODWT(DB4, cfg)
+    st.load_state(s2, path)
+    out1 = np.asarray(s1.update(sig[192:]))
+    out2 = np.asarray(s2.update(sig[192:]))
+    np.testing.assert_allclose(out1, out2, atol=1e-12)
