@@ -148,8 +148,9 @@ def modwt_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
                 ) -> jax.Array:
     """Fused forward MODWT: x (B, N) → (level+1, B, N).
 
-    Constraints: B % 8 == 0, N divisible by a power-of-two tile ≥ 512 that
-    exceeds the halo.  Use :func:`ops.modwt.modwt` for the general path.
+    Constraints: float32 (Mosaic lane rotates are 32-bit only), B % 8 == 0,
+    N divisible by a power-of-two tile ≥ 512 that exceeds the halo.  Use
+    :func:`ops.modwt.modwt` for the general path.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
