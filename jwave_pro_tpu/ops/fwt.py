@@ -89,6 +89,38 @@ def _synthesis_matrices(wavelet: DiscreteWavelet, dtype_name: str):
     return (np.asarray(a, dtype=dtype_name), np.asarray(b, dtype=dtype_name))
 
 
+@_functools.lru_cache(maxsize=None)
+def _analysis_matrix_small(wavelet: DiscreteWavelet, h: int, dtype_name: str):
+    """Full (h, h) circulant-step constant for widths ≤ _BLK.
+
+    ``out = x @ W`` with ``W[(2v+j) mod h, v] += dec_lo[j]`` (columns v <
+    h/2) and the high-pass in columns v ≥ h/2 — the whole circular step as
+    one small matmul (batch = packets/rows rides the MXU batch dimension).
+    """
+    m = wavelet.length
+    w = np.zeros((h, h), dtype=np.float64)
+    for v in range(h // 2):
+        for j in range(m):
+            w[(2 * v + j) % h, v] += wavelet.dec_lo[j]
+            w[(2 * v + j) % h, h // 2 + v] += wavelet.dec_hi[j]
+    return np.asarray(w, dtype=dtype_name)
+
+
+@_functools.lru_cache(maxsize=None)
+def _synthesis_matrix_small(wavelet: DiscreteWavelet, h: int, dtype_name: str):
+    """Full (h, h) adjoint constant: ``x = y @ S`` with
+    ``S[i, (2i+j) mod h] += rec_lo[j]`` (rows i < h/2) and rec_hi in rows
+    i ≥ h/2, times the energy-correction factor."""
+    m = wavelet.length
+    s = np.zeros((h, h), dtype=np.float64)
+    for i in range(h // 2):
+        for j in range(m):
+            s[i, (2 * i + j) % h] += wavelet.rec_lo[j]
+            s[h // 2 + i, (2 * i + j) % h] += wavelet.rec_hi[j]
+    s *= wavelet.energy_correction
+    return np.asarray(s, dtype=dtype_name)
+
+
 def _analysis_step_matmul(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     h = x.shape[-1]
     k = h // _BLK
@@ -140,6 +172,11 @@ def analysis_step(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     m = wavelet.length
     if h % _BLK == 0 and m <= _BLK:
         return _analysis_step_matmul(x, wavelet)
+    if h % 2 == 0 and h <= _BLK:
+        w = jnp.asarray(_analysis_matrix_small(
+            wavelet, h, jnp.dtype(x.dtype).name))
+        return jnp.einsum("...u,uv->...v", x, w,
+                          preferred_element_type=x.dtype)
     g = np.asarray(wavelet.dec_lo, dtype=x.dtype)
     f = np.asarray(wavelet.dec_hi, dtype=x.dtype)
     xe = x[..., 0::2]
@@ -170,6 +207,11 @@ def synthesis_step(y: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     m = wavelet.length
     if h % _BLK == 0 and m <= _BLK:
         return _synthesis_step_matmul(y, wavelet)
+    if h % 2 == 0 and h <= _BLK:
+        s_mat = jnp.asarray(_synthesis_matrix_small(
+            wavelet, h, jnp.dtype(y.dtype).name))
+        return jnp.einsum("...u,uv->...v", y, s_mat,
+                          preferred_element_type=y.dtype)
     if h % 2 == 0:
         # Polyphase adjoint (all-VPU): even outputs x_e[p] = Σ_m rl[2m]·
         # roll(lo, m)[p] + rh[2m]·roll(hi, m)[p]; odd outputs likewise with
