@@ -130,17 +130,30 @@ def main():
     results = {}
     results["modwt_db4_L5"] = bench_modwt()
     if os.environ.get("JWAVE_BENCH_ALL"):
-        results["modwt_roundtrip"], err = bench_modwt_roundtrip()
-        results["modwt_bf16"] = bench_modwt(dtype=jnp.bfloat16)
-        results["modwt_xla_direct"] = bench_modwt(method="direct")
-        results["modwt_fft_method"] = bench_modwt(method="fft", batch=8)
-        results["fwt_db4_1m"] = bench_fwt()
-        results["fwt2_db4_1024"] = bench_fwt2d()
-        results["wpt_sym8_L6"] = bench_wpt()
-        results["cwt_morlet_64scales"] = bench_cwt()
-        for k, v in results.items():
-            print(f"  {k:24s} {v/1e9:8.3f} Gsamples/s", file=sys.stderr)
-        print(f"  roundtrip max-abs-err {err:.2e}", file=sys.stderr)
+        # print incrementally: remote compiles are slow and a timeout should
+        # not lose completed configs
+        def run(name, fn):
+            results[name] = fn()
+            print(f"  {name:24s} {results[name]/1e9:8.3f} Gsamples/s",
+                  file=sys.stderr, flush=True)
+
+        print(f"  {'modwt_db4_L5':24s} "
+              f"{results['modwt_db4_L5']/1e9:8.3f} Gsamples/s",
+              file=sys.stderr, flush=True)
+
+        def _rt():
+            sps, err = bench_modwt_roundtrip()
+            print(f"  roundtrip max-abs-err {err:.2e}", file=sys.stderr,
+                  flush=True)
+            return sps
+
+        run("modwt_roundtrip", _rt)
+        run("modwt_xla_direct", lambda: bench_modwt(method="direct"))
+        run("modwt_fft_method", lambda: bench_modwt(method="fft", batch=8))
+        run("fwt_db4_1m", bench_fwt)
+        run("fwt2_db4_1024", bench_fwt2d)
+        run("wpt_sym8_L6", bench_wpt)
+        run("cwt_morlet_64scales", bench_cwt)
     value = results["modwt_db4_L5"]
     print(json.dumps({
         "metric": "modwt_db4_level5_samples_per_sec_per_chip",
