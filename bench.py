@@ -33,16 +33,17 @@ import jwave_pro_tpu as jw  # noqa: E402
 TARGET = 1e9  # samples/s/chip (BASELINE.json north star)
 
 
-def _time_chain(step, x, k_short=1, k_long=3, repeats=3):
+def _time_chain(step, x, k_short=4, k_long=24, repeats=3):
     """Time one application of ``step`` by differencing two chain lengths.
 
     ``step`` must map x → array of x's shape; the chain serializes
     iterations through a data dependence, and the (k_long − k_short)
-    difference cancels dispatch/tunnel/fetch overhead.
+    difference cancels dispatch/tunnel/fetch overhead (which is tens of ms
+    through the axon tunnel — hence the long chains).  ``lax.fori_loop``
+    keeps compile cost independent of chain length.
     """
     def chain(v, k):
-        for _ in range(k):
-            v = step(v)
+        v = jax.lax.fori_loop(0, k, lambda i, u: step(u), v)
         return jnp.sum(v.ravel()[:16])
 
     short = jax.jit(lambda v: chain(v, k_short))
