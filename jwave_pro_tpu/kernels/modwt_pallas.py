@@ -143,9 +143,9 @@ def _pick_interpret(interpret):
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "level", "tile",
                                              "interpret"))
-def modwt_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
-                tile: int = DEFAULT_TILE, interpret: bool | None = None
-                ) -> jax.Array:
+def _modwt_fused_impl(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+                      tile: int = DEFAULT_TILE, interpret: bool | None = None
+                      ) -> jax.Array:
     """Fused forward MODWT: x (B, N) → (level+1, B, N).
 
     Constraints: float32 (Mosaic lane rotates are 32-bit only), B % 8 == 0,
@@ -187,9 +187,9 @@ def modwt_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "tile", "interpret"))
-def imodwt_fused(c: jax.Array, wavelet: DiscreteWavelet,
-                 tile: int = DEFAULT_TILE, interpret: bool | None = None
-                 ) -> jax.Array:
+def _imodwt_fused_impl(c: jax.Array, wavelet: DiscreteWavelet,
+                       tile: int = DEFAULT_TILE, interpret: bool | None = None
+                       ) -> jax.Array:
     """Fused inverse MODWT: (level+1, B, N) → (B, N)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -222,3 +222,46 @@ def imodwt_fused(c: jax.Array, wavelet: DiscreteWavelet,
         ],
         interpret=_pick_interpret(interpret),
     )(cp)
+
+
+# ---------------------------------------------------------------------------
+# Autodiff: pallas_call has no automatic transpose, so the linear maps get
+# explicit VJPs.  The MODWT analysis operator A satisfies Aᵀ = A⁻¹ with the
+# reference's √2-normalized filter pipeline (that identity IS the perfect-
+# reconstruction property, MODWTTransform.java:337-375), and the cotangent
+# recursion of A is structurally the imodwt adjoint chain — so each fused
+# kernel's VJP is simply the other kernel.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def modwt_fused(x, wavelet, level, tile=DEFAULT_TILE, interpret=None):
+    """Fused forward MODWT: x (B, N) → (level+1, B, N); differentiable."""
+    return _modwt_fused_impl(x, wavelet, level, tile, interpret)
+
+
+def _modwt_fwd(x, wavelet, level, tile, interpret):
+    return _modwt_fused_impl(x, wavelet, level, tile, interpret), None
+
+
+def _modwt_bwd(wavelet, level, tile, interpret, _, cot):
+    return (_imodwt_fused_impl(cot, wavelet, tile, interpret),)
+
+
+modwt_fused.defvjp(_modwt_fwd, _modwt_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def imodwt_fused(c, wavelet, tile=DEFAULT_TILE, interpret=None):
+    """Fused inverse MODWT: (level+1, B, N) → (B, N); differentiable."""
+    return _imodwt_fused_impl(c, wavelet, tile, interpret)
+
+
+def _imodwt_fwd(c, wavelet, tile, interpret):
+    return _imodwt_fused_impl(c, wavelet, tile, interpret), c.shape[0] - 1
+
+
+def _imodwt_bwd(wavelet, tile, interpret, level, cot):
+    return (_modwt_fused_impl(cot, wavelet, level, tile, interpret),)
+
+
+imodwt_fused.defvjp(_imodwt_fwd, _imodwt_bwd)
