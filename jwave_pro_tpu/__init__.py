@@ -20,6 +20,7 @@ from .ops import (  # noqa: F401
     MAX_DECOMPOSITION_LEVEL, analysis_step, basis_coefficients, basis_reconstruct, best_basis,
     circular_convolve, circular_convolve_adjoint, decompose, fwt, fwt2, fwt3,
     ifwt, ifwt2, ifwt3, imodwt, iwpt, log_energy_cost, modwt,
+    imodwt2, modwt2, modwt2_mra,
     modwt_base_filters, modwt_mra, recompose, shannon_entropy_cost,
     synthesis_step, threshold_cost, wpt, wpt_tree,
 )

@@ -6,6 +6,7 @@ from .modwt import (
     MAX_DECOMPOSITION_LEVEL, circular_convolve, circular_convolve_adjoint,
     imodwt, modwt, modwt_base_filters, modwt_mra,
 )
+from .modwt2d import imodwt2, modwt2, modwt2_mra
 from .wpt import (
     basis_coefficients, basis_reconstruct, best_basis, iwpt, log_energy_cost,
     shannon_entropy_cost, sure_cost, threshold_cost, wpt, wpt_tree,
@@ -17,6 +18,7 @@ __all__ = [
     "MAX_DECOMPOSITION_LEVEL", "circular_convolve",
     "circular_convolve_adjoint", "imodwt", "modwt", "modwt_base_filters",
     "modwt_mra",
+    "imodwt2", "modwt2", "modwt2_mra",
     "basis_coefficients", "basis_reconstruct", "best_basis", "iwpt", "log_energy_cost",
     "shannon_entropy_cost", "sure_cost", "threshold_cost", "wpt", "wpt_tree",
 ]

@@ -133,3 +133,26 @@ def test_flat_interface_auto_detection(rng):
     assert flat.shape == (64 * 7,)  # log2(64)=6 levels + V_6
     xr = np.asarray(t.reverse_flat(flat))
     np.testing.assert_allclose(xr, x, atol=1e-8)
+
+
+def test_modwt2_roundtrip_energy_shift(rng):
+    from jwave_pro_tpu.ops.modwt2d import imodwt2, modwt2
+    x = rng.standard_normal((24, 40))
+    c = np.asarray(modwt2(x, DB4, 3))
+    assert c.shape == (10, 24, 40)
+    np.testing.assert_allclose(np.asarray(imodwt2(c, DB4)), x, atol=1e-10)
+    np.testing.assert_allclose(np.sum(c * c), np.sum(x * x), rtol=1e-10)
+    # 2D shift-invariance (both axes)
+    cs = np.asarray(modwt2(np.roll(np.roll(x, 3, 0), 5, 1), DB4, 2))
+    c2 = np.asarray(modwt2(x, DB4, 2))
+    np.testing.assert_allclose(cs, np.roll(np.roll(c2, 3, 1), 5, 2),
+                               atol=1e-10)
+
+
+def test_modwt2_batched(rng):
+    from jwave_pro_tpu.ops.modwt2d import modwt2
+    xb = rng.standard_normal((2, 16, 16))
+    cb = np.asarray(modwt2(xb, HAAR, 2))
+    for i in range(2):
+        np.testing.assert_allclose(cb[:, i], np.asarray(modwt2(xb[i], HAAR, 2)),
+                                   atol=1e-12)
