@@ -165,3 +165,24 @@ def test_continuous_factory():
     assert continuous_wavelet("dog", 3).n == 3
     with pytest.raises(ValueError):
         continuous_wavelet("nope")
+
+
+def test_morlet_omega0_convention():
+    # BASELINE eval config "Morlet(6.0)": Torrence–Compo omega0 mapping.
+    w = MorletWavelet.from_omega0(6.0)
+    assert abs(w.center_frequency - 6.0 / (2 * np.pi)) < 1e-12
+    assert w.fb == 2.0
+    # peak of psi-hat at omega = omega0 (within grid resolution)
+    om = np.linspace(0.1, 12, 2000)
+    vals = np.abs(np.asarray(w.psi_hat(om)))
+    assert abs(om[np.argmax(vals)] - 6.0) < 0.02
+
+
+def test_batched_pod_style_cwt(rng):
+    # eval config: 64-scale batched scalogram on an ECG-like signal
+    from jwave_pro_tpu.utils.signals import ecg_like
+    xb = np.stack([ecg_like(1024, seed=i) for i in range(4)])
+    scales = jw.generate_log_scales(1.0, 128.0, 64)
+    res = cwt(xb, scales, MorletWavelet.from_omega0(6.0), 360.0)
+    assert res.coefficients.shape == (4, 64, 1024)
+    assert np.isfinite(np.asarray(res.magnitude)).all()
