@@ -135,3 +135,18 @@ def test_grad_through_fwt(rng):
     x = rng.standard_normal(16)
     g = jax.grad(lambda v: jw.fwt(v, DB4).sum())(x)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_pywt_style_wavedec_waverec(rng):
+    x = rng.standard_normal(64)
+    coeffs = jw.wavedec(x, DB4, 3)
+    assert len(coeffs) == 4
+    assert coeffs[0].shape == (8,)   # cA_3
+    assert coeffs[1].shape == (8,)   # cD_3
+    assert coeffs[2].shape == (16,)  # cD_2
+    assert coeffs[3].shape == (32,)  # cD_1
+    np.testing.assert_allclose(np.asarray(jw.waverec(coeffs, DB4)), x,
+                               atol=1e-8)
+    # layout equivalence with the flat FWT array
+    flat = np.asarray(jw.fwt(x, DB4, 3))
+    np.testing.assert_allclose(np.asarray(jw.coeffs_to_flat(coeffs)), flat)
