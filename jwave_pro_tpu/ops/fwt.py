@@ -126,10 +126,14 @@ def _analysis_step_matmul(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     k = h // _BLK
     lead = x.shape[:-1]
     xb = x.reshape(lead + (k, _BLK))
-    pairs = jnp.concatenate([xb, jnp.roll(xb, -1, axis=-2)], axis=-1)
-    w = jnp.asarray(_analysis_matrix(wavelet, jnp.dtype(x.dtype).name))
-    out = jnp.einsum("...ku,uv->...kv", pairs, w,
-                     preferred_element_type=x.dtype)
+    w = _analysis_matrix(wavelet, jnp.dtype(x.dtype).name)
+    w_cur = jnp.asarray(w[:_BLK])
+    w_nxt = jnp.asarray(w[_BLK:])
+    # split matmul instead of materializing a (…, k, 2·BLK) pairs buffer
+    out = (jnp.einsum("...ku,uv->...kv", xb, w_cur,
+                      preferred_element_type=x.dtype)
+           + jnp.einsum("...ku,uv->...kv", jnp.roll(xb, -1, axis=-2), w_nxt,
+                        preferred_element_type=x.dtype))
     lo = out[..., :128].reshape(lead + (h // 2,))
     hi = out[..., 128:].reshape(lead + (h // 2,))
     return jnp.concatenate([lo, hi], axis=-1)
@@ -142,15 +146,15 @@ def _synthesis_step_matmul(y: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     lead = y.shape[:-1]
     lo = y[..., :half].reshape(lead + (k, 128))
     hi = y[..., half:].reshape(lead + (k, 128))
-    lo_pair = jnp.concatenate([jnp.roll(lo, 1, axis=-2), lo], axis=-1)
-    hi_pair = jnp.concatenate([jnp.roll(hi, 1, axis=-2), hi], axis=-1)
     a, b = _synthesis_matrices(wavelet, jnp.dtype(y.dtype).name)
-    a = jnp.asarray(a)
-    b = jnp.asarray(b)
-    out = (jnp.einsum("...ku,uv->...kv", lo_pair, a,
-                      preferred_element_type=y.dtype)
-           + jnp.einsum("...ku,uv->...kv", hi_pair, b,
-                        preferred_element_type=y.dtype))
+    a_prev, a_cur = jnp.asarray(a[:128]), jnp.asarray(a[128:])
+    b_prev, b_cur = jnp.asarray(b[:128]), jnp.asarray(b[128:])
+    lo_prev = jnp.roll(lo, 1, axis=-2)
+    hi_prev = jnp.roll(hi, 1, axis=-2)
+    ein = lambda u, m: jnp.einsum("...ku,uv->...kv", u, m,
+                                  preferred_element_type=y.dtype)
+    out = ein(lo_prev, a_prev) + ein(lo, a_cur) \
+        + ein(hi_prev, b_prev) + ein(hi, b_cur)
     return out.reshape(lead + (h,))
 
 
