@@ -18,13 +18,11 @@ static shapes (mask arrays per level) so it jits.
 """
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
 from ..wavelets.base import DiscreteWavelet
-from ..utils.validation import check_power_of_two, exponent
+from ..utils.validation import check_power_of_two
 from .fwt import analysis_step, synthesis_step, _resolve_level
 
 __all__ = [

@@ -32,7 +32,7 @@ from .ops.modwt import (
 )
 from .ops.wpt import best_basis as _best_basis, iwpt as _iwpt, wpt as _wpt_f
 from .wavelets.base import DiscreteWavelet
-from .wavelets.continuous import ContinuousWavelet, continuous_wavelet
+from .wavelets.continuous import ContinuousWavelet
 from .wavelets.families import wavelet as _wavelet
 
 __all__ = [
