@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Best-basis selection demo (the feature the reference README advertises
+but never implemented — SURVEY §6)."""
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jwave_pro_tpu as jw  # noqa: E402
+
+
+def main():
+    n = 1024
+    t = np.arange(n) / n
+    # two chirping bursts + a tone: a signal with structure at mixed depths
+    x = (np.sin(2 * np.pi * 40 * t)
+         + np.exp(-((t - 0.3) / 0.02) ** 2) * np.sin(2 * np.pi * 200 * t)
+         + np.exp(-((t - 0.7) / 0.05) ** 2) * np.sin(2 * np.pi * 90 * t))
+
+    w = jw.wavelet("Symlet 8")
+    masks, cost, tree = jw.best_basis(x, w, level=6)
+    flat = jw.basis_coefficients(tree, masks)
+
+    full_cost = float(jw.shannon_entropy_cost(np.asarray(tree[6])))
+    sig_cost = float(jw.shannon_entropy_cost(np.asarray(x)))
+    print(f"entropy: signal {sig_cost:9.3f} | full level-6 WPT "
+          f"{full_cost:9.3f} | best basis {float(cost):9.3f}")
+    for lvl, m in enumerate(masks):
+        k = int(np.sum(np.asarray(m)))
+        if k:
+            print(f"  level {lvl}: {k} leaf packets "
+                  f"(width {n >> lvl} each)")
+
+    xr = np.asarray(jw.basis_reconstruct(flat, masks, w))
+    print(f"reconstruction max-abs-err: {np.abs(xr - x).max():.2e}")
+
+    kept = np.asarray(jw.compress_magnitude(np.asarray(flat)))
+    rate = float(jw.compression_rate(kept))
+    xr2 = np.asarray(jw.basis_reconstruct(kept, masks, w))
+    rel = np.linalg.norm(xr2 - x) / np.linalg.norm(x)
+    print(f"magnitude-compressed basis: {rate:.1f}% zeros, "
+          f"relative error {rel:.3f}")
+
+
+if __name__ == "__main__":
+    main()
