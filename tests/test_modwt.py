@@ -156,3 +156,26 @@ def test_modwt2_batched(rng):
     for i in range(2):
         np.testing.assert_allclose(cb[:, i], np.asarray(modwt2(xb[i], HAAR, 2)),
                                    atol=1e-12)
+
+
+def test_modwt_all_good_wavelets_roundtrip(rng):
+    # all-family MODWT PR sweep (the reference only ever exercises a few
+    # wavelets through MODWT; the property holds for any L2-normalized QMF
+    # pair constructed per initializeFilterCache).
+    x = rng.standard_normal(48)
+    for w in jw.good_wavelets():
+        c = jw.modwt(x, w, 3, method="direct")
+        xr = np.asarray(jw.imodwt(c, w, method="direct"))
+        np.testing.assert_allclose(xr, x, atol=1e-6, err_msg=w.name)
+
+
+def test_method_selection_rules():
+    from jwave_pro_tpu.ops.modwt import _use_fft
+    # reference rule: N·M_upsampled > 4096 → FFT (MODWTTransform.java:640)
+    assert _use_fft("auto_reference", n=1024, m_base=8, dilation=16)
+    assert not _use_fft("auto_reference", n=64, m_base=4, dilation=1)
+    # our cost-based rule ignores dilation (a-trous skips the zeros)
+    assert not _use_fft("auto", n=1 << 20, m_base=8, dilation=4096)
+    assert _use_fft("auto", n=1 << 20, m_base=102, dilation=1)  # dmey
+    with np.testing.assert_raises(ValueError):
+        _use_fft("bogus", 8, 8, 1)
