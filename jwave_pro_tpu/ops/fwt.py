@@ -165,12 +165,10 @@ def analysis_step(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     · dec_lo[j]``, ``out[..., h/2:]`` the wavelet coefficients — the batched
     equivalent of ``Wavelet.forward`` (``Wavelet.java:236-260``).
 
-    TPU-first polyphase formulation: split x into even/odd phases, then
-    ``lo = Σ_m g[2m]·roll(x_e, −m) + g[2m+1]·roll(x_o, −m)`` — all-VPU
-    rolls + FMAs (the tiny-channel ``conv_general_dilated`` lowering pads
-    onto the MXU and measures ~3× slower).  ``jnp.roll`` is mod-h/2, which
-    IS the circular ``(2i+j) mod h`` wrap, including filters longer than
-    the signal.
+    Dispatch: h divisible by 256 → banded block-pair matmul; even h ≤ 256 →
+    full circulant matmul (both MXU, no strided lane ops); otherwise an
+    even/odd polyphase roll form (filters longer than the signal wrap
+    correctly because ``jnp.roll`` is mod-h/2 ≡ the ``(2i+j) mod h`` wrap).
     """
     h = x.shape[-1]
     m = wavelet.length
@@ -204,8 +202,9 @@ def synthesis_step(y: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     including the unnormalized-Haar energy-correction factor
     (``Haar1Orthogonal.java:196-201``).
 
-    Implemented as a fractionally-strided (lhs-dilated) convolution producing
-    the full-length extended result, then a circular fold-back.
+    Dispatch mirrors :func:`analysis_step` (matmul paths); odd widths
+    (reachable via the Shifting WT reverse) fall back to a transposed
+    strided convolution with circular fold-back.
     """
     h = y.shape[-1]
     m = wavelet.length

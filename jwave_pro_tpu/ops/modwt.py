@@ -18,8 +18,10 @@ stays 2·M MACs per level independent of depth.  The reference's direct path is
 O(N · M·2^(j-1)) which is why its FFT path wins by up to 47×
 (``README.md:16``); here the dilated direct path is already optimal and the
 FFT path (kept for parity and for very long filters) is rarely needed.
-Both filters (g, h) run as one 2-output-channel convolution; batching over
-leading axes replaces the reference's thread-level parallelism.
+Both filters (g, h) share each rolled signal copy; batching over leading
+axes replaces the reference's thread-level parallelism.  On TPU the fused
+Pallas kernel (kernels/modwt_pallas.py) is auto-dispatched for f32 2D
+batches; see docs/PERFORMANCE.md for the measured hierarchy.
 
 Filters are computed at trace time with numpy float64 → they are jit constants
 (the analog of the reference's ConcurrentHashMap filter cache, ``:490-560``).
