@@ -129,11 +129,15 @@ def _analysis_step_matmul(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     w = _analysis_matrix(wavelet, jnp.dtype(x.dtype).name)
     w_cur = jnp.asarray(w[:_BLK])
     w_nxt = jnp.asarray(w[_BLK:])
-    # split matmul instead of materializing a (…, k, 2·BLK) pairs buffer
+    # split matmul instead of materializing a (…, k, 2·BLK) pairs buffer.
+    # Precision.HIGHEST: TPU matmuls default to bf16 inputs, which costs
+    # ~1e-2 reconstruction error — unacceptable vs the 1e-6 parity target.
     out = (jnp.einsum("...ku,uv->...kv", xb, w_cur,
-                      preferred_element_type=x.dtype)
+                      preferred_element_type=x.dtype,
+                      precision=lax.Precision.HIGHEST)
            + jnp.einsum("...ku,uv->...kv", jnp.roll(xb, -1, axis=-2), w_nxt,
-                        preferred_element_type=x.dtype))
+                        preferred_element_type=x.dtype,
+                        precision=lax.Precision.HIGHEST))
     lo = out[..., :128].reshape(lead + (h // 2,))
     hi = out[..., 128:].reshape(lead + (h // 2,))
     return jnp.concatenate([lo, hi], axis=-1)
@@ -152,7 +156,8 @@ def _synthesis_step_matmul(y: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     lo_prev = jnp.roll(lo, 1, axis=-2)
     hi_prev = jnp.roll(hi, 1, axis=-2)
     ein = lambda u, m: jnp.einsum("...ku,uv->...kv", u, m,
-                                  preferred_element_type=y.dtype)
+                                  preferred_element_type=y.dtype,
+                                  precision=lax.Precision.HIGHEST)
     out = ein(lo_prev, a_prev) + ein(lo, a_cur) \
         + ein(hi_prev, b_prev) + ein(hi, b_cur)
     return out.reshape(lead + (h,))
@@ -178,7 +183,8 @@ def analysis_step(x: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
         w = jnp.asarray(_analysis_matrix_small(
             wavelet, h, jnp.dtype(x.dtype).name))
         return jnp.einsum("...u,uv->...v", x, w,
-                          preferred_element_type=x.dtype)
+                          preferred_element_type=x.dtype,
+                          precision=lax.Precision.HIGHEST)
     g = np.asarray(wavelet.dec_lo, dtype=x.dtype)
     f = np.asarray(wavelet.dec_hi, dtype=x.dtype)
     xe = x[..., 0::2]
@@ -214,7 +220,8 @@ def synthesis_step(y: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
         s_mat = jnp.asarray(_synthesis_matrix_small(
             wavelet, h, jnp.dtype(y.dtype).name))
         return jnp.einsum("...u,uv->...v", y, s_mat,
-                          preferred_element_type=y.dtype)
+                          preferred_element_type=y.dtype,
+                          precision=lax.Precision.HIGHEST)
     if h % 2 == 0:
         # Polyphase adjoint (all-VPU): even outputs x_e[p] = Σ_m rl[2m]·
         # roll(lo, m)[p] + rh[2m]·roll(hi, m)[p]; odd outputs likewise with

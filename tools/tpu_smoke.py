@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""On-TPU smoke test: compiled-kernel parity + eval-config round trips.
+
+Run on a machine with a TPU attached (the CPU test suite covers the same
+semantics via interpret mode; this validates the real Mosaic compilation):
+
+    python tools/tpu_smoke.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+import jax.numpy as jnp  # noqa: E402
+
+import jwave_pro_tpu as jw  # noqa: E402
+from jwave_pro_tpu.kernels.modwt_pallas import imodwt_fused, modwt_fused  # noqa: E402
+
+
+def check(name, err, tol):
+    status = "OK " if err < tol else "FAIL"
+    print(f"  [{status}] {name}: max-abs-err {err:.2e} (tol {tol:g})")
+    return err < tol
+
+
+def main():
+    # NOTE: errors are reduced ON DEVICE and only scalars are fetched —
+    # large device→host transfers are unreliable through remote tunnels.
+    print(f"backend: {jax.devices()[0].platform} ({jax.devices()[0]})")
+    rng = np.random.default_rng(0)
+    ok = True
+
+    w = jw.wavelet("Daubechies 4")
+    sym8 = jw.wavelet("Symlet 8")
+    x = jnp.asarray(rng.standard_normal((16, 8192)), dtype=jnp.float32)
+
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        modwt_fused(v, w, 5) - jw.modwt(v, w, 5, method="direct"))))(x))
+    ok &= check("pallas fwd ≡ xla direct", err, 1e-5)
+
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        imodwt_fused(modwt_fused(v, w, 5), w) - v)))(x))
+    ok &= check("pallas roundtrip", err, 1e-4)
+
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.ifwt(jw.fwt(v, w), w) - v)))(x))
+    ok &= check("fwt matmul roundtrip", err, 1e-4)
+
+    xw = jnp.asarray(rng.standard_normal((8, 65536)), dtype=jnp.float32)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.iwpt(jw.wpt(v, sym8, 6), sym8, 6) - v)))(xw))
+    ok &= check("wpt sym8 L6 roundtrip", err, 1e-3)
+
+    scales = jw.generate_log_scales(1.0, 128.0, 64)
+    finite = bool(float(jax.jit(lambda v: jnp.sum(jnp.where(jnp.isfinite(
+        jnp.abs(jw.cwt(v, scales, jw.MorletWavelet.from_omega0(6.0),
+                       360.0).coefficients)), 0.0, 1.0)))(x[:4, :4096])) == 0)
+    print(f"  [{'OK ' if finite else 'FAIL'}] cwt 64-scale batched finite")
+    ok &= finite
+
+    print("TPU smoke:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
