@@ -214,8 +214,10 @@ def cwt_direct(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
         xpad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_l, pad_r)])
         idx = np.arange(n)[:, None] + offs[None, :] + pad_l
         windows = xpad[..., idx]  # (..., n, W)
+        from jax import lax
         rows.append(jnp.tensordot(windows.astype(taps.dtype), taps,
-                                  axes=[[-1], [0]]))
+                                  axes=[[-1], [0]],
+                                  precision=lax.Precision.HIGHEST))
     coeff = jnp.stack(rows, axis=-2)  # (..., S, N)
     time_axis = jnp.asarray(np.arange(n) * dt)
     return CWTResult(coeff, jnp.asarray(scales_np), time_axis,

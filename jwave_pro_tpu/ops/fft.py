@@ -85,12 +85,18 @@ def dft_matrix(n: int, inverse: bool = False, dtype=np.complex128):
 
 def dft(x: jax.Array) -> jax.Array:
     """Naive DFT via matrix product (educational / cross-validation)."""
+    from jax import lax
+
     x = _as_complex(x)
     w = jnp.asarray(dft_matrix(x.shape[-1]), dtype=x.dtype)
-    return jnp.tensordot(x, w, axes=[[-1], [1]])
+    return jnp.tensordot(x, w, axes=[[-1], [1]],
+                         precision=lax.Precision.HIGHEST)
 
 
 def idft(x: jax.Array) -> jax.Array:
+    from jax import lax
+
     x = _as_complex(x)
     w = jnp.asarray(dft_matrix(x.shape[-1], inverse=True), dtype=x.dtype)
-    return jnp.tensordot(x, w, axes=[[-1], [1]])
+    return jnp.tensordot(x, w, axes=[[-1], [1]],
+                         precision=lax.Precision.HIGHEST)
