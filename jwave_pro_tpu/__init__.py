@@ -30,6 +30,7 @@ from .utils import (  # noqa: F401
 )
 from .ops.cwt import (  # noqa: F401
     CWTResult, cwt, cwt_direct, generate_linear_scales, generate_log_scales,
+    icwt,
 )
 from .ops.fft import fft, ifft  # noqa: F401
 from .ops.lifting import cdf53, cdf97, icdf53, icdf97  # noqa: F401

@@ -30,7 +30,7 @@ from ..utils.validation import next_power_of_two
 from ..wavelets.continuous import ContinuousWavelet, MorletWavelet
 
 __all__ = [
-    "cwt", "cwt_direct", "CWTResult", "generate_log_scales",
+    "cwt", "cwt_direct", "icwt", "CWTResult", "generate_log_scales",
     "generate_linear_scales", "pad_signal",
 ]
 
@@ -222,3 +222,51 @@ def cwt_direct(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
     time_axis = jnp.asarray(np.arange(n) * dt)
     return CWTResult(coeff, jnp.asarray(scales_np), time_axis,
                      sampling_rate, wavelet.name)
+
+
+def icwt(result: CWTResult, wavelet: ContinuousWavelet | None = None
+         ) -> jax.Array:
+    """Approximate inverse CWT (signal reconstruction from a scalogram).
+
+    The reference has no inverse CWT at all; this implements the standard
+    single-integral (delta-function) reconstruction for log-spaced scales
+    (Torrence & Compo 1998 eq. 11 generalized):
+
+        x(t) ≈ (Σ_a Re[W(a,t)] / a^{3/2} · Δ(ln a))  /  K_ψ
+
+    with the wavelet-dependent constant K_ψ calibrated numerically from a
+    delta function through the same forward transform — which makes the
+    formula self-consistent with THIS library's FFT-path conventions
+    (including the reference's idiosyncratic ψ̂ normalizations) for any of
+    the five continuous wavelets.
+
+    Accuracy is that of the method (a few percent for ≥ 16 scales/decade
+    spanning the signal band), not machine precision.
+    """
+    if wavelet is None:
+        wavelet = MorletWavelet()
+    coeffs = result.coefficients
+    scales = jnp.asarray(result.scales)
+    n = coeffs.shape[-1]
+    log_s = jnp.log(scales)
+    # Trapezoid weights in ln(a).  With this library's FFT-path convention
+    # C(a,·) = IFFT[X · conj(√a·ψ̂(aω))], a flat reconstruction kernel needs
+    # w(a) = Δln(a)/√a:  Σ_a w(a)·√a·ψ̂(aω) = ∫ψ̂(aω) dln a, which is
+    # ω-independent by scale invariance of dln a.
+    dln = jnp.gradient(log_s)
+    weights = (dln / jnp.sqrt(scales)).astype(jnp.real(coeffs).dtype)
+
+    raw = jnp.einsum("s,...st->...t", weights, jnp.real(coeffs))
+
+    # Calibrate K_psi: run a unit impulse through the same forward transform
+    # and measure its reconstructed peak (numpy, trace-time constant).
+    delta = np.zeros(n)
+    delta[n // 2] = 1.0
+    dres = cwt(delta, np.asarray(result.scales), wavelet,
+               result.sampling_rate)
+    draw = np.tensordot(np.asarray(weights, dtype=np.float64),
+                        np.real(np.asarray(dres.coefficients)), axes=[[0], [0]])
+    k_psi = float(draw[n // 2])
+    if abs(k_psi) < 1e-30:
+        raise ValueError("wavelet/scale grid cannot be calibrated for icwt")
+    return raw / k_psi

@@ -186,3 +186,17 @@ def test_batched_pod_style_cwt(rng):
     res = cwt(xb, scales, MorletWavelet.from_omega0(6.0), 360.0)
     assert res.coefficients.shape == (4, 64, 1024)
     assert np.isfinite(np.asarray(res.magnitude)).all()
+
+
+def test_icwt_reconstructs_morlet():
+    # Inverse CWT (absent in the reference): flat-kernel reconstruction for
+    # band-covered signals within a few percent.
+    fs = 100.0
+    t = np.arange(1024) / fs
+    x = np.sin(2 * np.pi * 5 * t) + 0.5 * np.sin(2 * np.pi * 15 * t)
+    scales = generate_log_scales(0.005, 1.0, 96)
+    res = cwt(x, scales, MorletWavelet(), fs)
+    xr = np.asarray(jw.icwt(res, MorletWavelet()))
+    mid = slice(100, 924)  # trim edge cones
+    rel = np.linalg.norm(xr[mid] - x[mid]) / np.linalg.norm(x[mid])
+    assert rel < 0.05
