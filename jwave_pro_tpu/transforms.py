@@ -222,6 +222,13 @@ class ContinuousWaveletTransform:
     def transform_fft(self, x, scales, sampling_rate=1.0):
         return _cwt_fft(x, scales, self.wavelet, sampling_rate, self.padding)
 
+    def inverse(self, result):
+        """Approximate signal reconstruction (``ops.cwt.icwt``; the
+        reference has no inverse CWT)."""
+        from .ops.cwt import icwt as _icwt
+
+        return _icwt(result, self.wavelet)
+
     # parallel aliases for API familiarity
     transform_parallel = transform
     transform_fft_parallel = transform_fft
