@@ -36,7 +36,7 @@ from ..wavelets.base import DiscreteWavelet
 
 __all__ = [
     "modwt_sharded", "imodwt_sharded", "cwt_sharded", "wpt_sharded",
-    "fwt2_sharded",
+    "fwt2_sharded", "fwt_sharded", "ifwt_sharded", "gather_fwt_layout",
 ]
 
 
@@ -264,3 +264,154 @@ def fwt2_sharded(m, wavelet: DiscreteWavelet, mesh: Mesh,
     m = jax.device_put(
         m, NamedSharding(mesh, P(*([None] * (m.ndim - 2)), batch_axis, None)))
     return _fwt2(m, wavelet)
+
+
+# ---------------------------------------------------------------------------
+# Signal-sharded FWT: decimating pyramid with per-level ring halo exchange.
+# ---------------------------------------------------------------------------
+
+def _local_analysis(active, ctx, wavelet):
+    """Non-circular analysis of a local segment with right context.
+
+    lo[i] = Σ_j ext[2i+j]·g[j] with ext = [active | ctx]; valid for all
+    i < len(active)/2 because len(ctx) = M−2 (no wrap ever needed).
+    """
+    import numpy as np
+
+    h = active.shape[-1]
+    m = wavelet.length
+    ext = jnp.concatenate([active, ctx], axis=-1)
+    g = np.asarray(wavelet.dec_lo, dtype=active.dtype)
+    f = np.asarray(wavelet.dec_hi, dtype=active.dtype)
+    lo = hi = None
+    for j in range(m):
+        # strided slice yielding exactly h/2 entries: indices j, j+2, …, j+h−2
+        seg = lax.slice_in_dim(ext, j, j + h - 1, stride=2, axis=-1)
+        tl = g[j] * seg
+        th = f[j] * seg
+        lo = tl if lo is None else lo + tl
+        hi = th if hi is None else hi + th
+    return lo, hi
+
+
+def _local_synthesis(lo, hi, lo_ctx, hi_ctx, wavelet):
+    """Adjoint of :func:`_local_analysis` with left context.
+
+    x[k] = Σ_{i,j: 2i+j = k} lo[i]·rl[j] + hi[i]·rh[j] where i may reach
+    ⌈(M−1)/2⌉ entries into the left neighbor (lo_ctx/hi_ctx, newest last).
+    """
+    import numpy as np
+
+    half = lo.shape[-1]
+    c = lo_ctx.shape[-1]
+    m = wavelet.length
+    rl = np.asarray(wavelet.rec_lo, dtype=lo.dtype)
+    rh = np.asarray(wavelet.rec_hi, dtype=lo.dtype)
+    lo_e = jnp.concatenate([lo_ctx, lo], axis=-1)
+    hi_e = jnp.concatenate([hi_ctx, hi], axis=-1)
+    # Scatter computed as gather: x[k] = Σ_j r[j]·y[(k−j)/2] where parity
+    # matches (j ≡ k mod 2).  For k = j%2 + 2t: y index = t − j//2, i.e.
+    # slice of the left-extended y starting at c − j//2.  Accumulate the two
+    # output phases separately and interleave at the end.
+    even = odd = None
+    for j in range(m):
+        start = c - j // 2
+        seg_lo = lax.slice_in_dim(lo_e, start, start + half, axis=-1)
+        seg_hi = lax.slice_in_dim(hi_e, start, start + half, axis=-1)
+        contrib = rl[j] * seg_lo + rh[j] * seg_hi  # values at k = j%2 + 2t
+        if j % 2 == 0:
+            even = contrib if even is None else even + contrib
+        else:
+            odd = contrib if odd is None else odd + contrib
+    if odd is None:
+        odd = jnp.zeros_like(even)
+    res = jnp.stack([even, odd], axis=-1).reshape(lo.shape[:-1] + (2 * half,))
+    if wavelet.energy_correction != 1.0:
+        res = res * jnp.asarray(wavelet.energy_correction, dtype=lo.dtype)
+    return res
+
+
+def fwt_sharded(x, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
+                signal_axis: str = "signal", batch_axis: str = "data"):
+    """Signal-sharded multi-level FWT (per-shard prefix layout).
+
+    Each device holds a contiguous shard; per level one ring ppermute
+    fetches the M−2 right-context samples of the circularly-next shard's
+    active prefix (the decimating analog of the MODWT halo ring, SURVEY
+    §5.7).  The result shard keeps the reference's ``[approx | detail]``
+    prefix layout *locally*; `gather_fwt_layout` converts stacked shards to
+    the exact single-device layout.  Requires (N / n_shards) % 2^level == 0.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    d = mesh.shape[signal_axis]
+    if (n // d) % (1 << level) != 0:
+        raise ValueError(f"shard length {n//d} not divisible by 2^{level}")
+
+    def body(xl):
+        h = xl.shape[-1]
+        out = xl
+        for _ in range(level):
+            active = out[..., :h]
+            ctx = _right_context(active, wavelet.length - 2, signal_axis) \
+                if wavelet.length > 2 else active[..., :0]
+            lo, hi = _local_analysis(active, ctx, wavelet)
+            out = jnp.concatenate([lo, hi, out[..., h:]], axis=-1)
+            h //= 2
+        return out
+
+    in_spec = _specs(mesh, x.ndim, signal_axis, batch_axis)
+    return shard_map(body, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=in_spec)(x)
+
+
+def ifwt_sharded(y, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
+                 signal_axis: str = "signal", batch_axis: str = "data"):
+    """Inverse of :func:`fwt_sharded` (same per-shard layout in/out)."""
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    d = mesh.shape[signal_axis]
+    if (n // d) % (1 << level) != 0:
+        raise ValueError(f"shard length {n//d} not divisible by 2^{level}")
+
+    def body(yl):
+        nloc = yl.shape[-1]
+        widths = [nloc >> l for l in range(level)]
+        out = yl
+        for h in reversed(widths):
+            half = h // 2
+            lo = out[..., :half]
+            hi = out[..., half:h]
+            c = (wavelet.length + 1) // 2
+            lo_ctx = _left_context(lo, c, signal_axis)
+            hi_ctx = _left_context(hi, c, signal_axis)
+            rec = _local_synthesis(lo, hi, lo_ctx, hi_ctx, wavelet)
+            out = jnp.concatenate([rec, out[..., h:]], axis=-1)
+        return out
+
+    in_spec = _specs(mesh, y.ndim, signal_axis, batch_axis)
+    return shard_map(body, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=in_spec)(y)
+
+
+def gather_fwt_layout(y, level: int, n_shards: int):
+    """Convert per-shard prefix layout → the single-device reference layout.
+
+    Band boundaries per shard: [approx(w_L) | d_L(w_L) | d_{L-1}(2w_L) | …];
+    the global layout concatenates each band across shards in order.
+    """
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    loc = n // n_shards
+    shards = y.reshape(y.shape[:-1] + (n_shards, loc))
+    bands = []
+    # local band offsets
+    off = 0
+    sizes = [loc >> level]  # approx
+    sizes += [loc >> (level - l) for l in range(level)]  # d_L .. d_1
+    pieces = []
+    for sz in sizes:
+        pieces.append(shards[..., :, off:off + sz])
+        off += sz
+    return jnp.concatenate(
+        [p.reshape(y.shape[:-1] + (-1,)) for p in pieces], axis=-1)

@@ -92,3 +92,31 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
     ge.dryrun_multichip(8)
+
+
+@needs8
+def test_fwt_signal_sharded_exact(rng):
+    from jwave_pro_tpu.parallel.sharded import (
+        fwt_sharded, gather_fwt_layout, ifwt_sharded,
+    )
+    mesh = make_mesh({"signal": 8})
+    for name, lvl in (("Haar", 3), ("Daubechies 4", 3), ("Symlet 8", 2)):
+        w = jw.wavelet(name)
+        x = rng.standard_normal(512)
+        y = fwt_sharded(x, w, lvl, mesh)
+        ref = np.asarray(jw.fwt(x, w, lvl))
+        np.testing.assert_allclose(np.asarray(gather_fwt_layout(y, lvl, 8)),
+                                   ref, atol=1e-10, err_msg=name)
+        np.testing.assert_allclose(np.asarray(ifwt_sharded(y, w, lvl, mesh)),
+                                   x, atol=1e-8, err_msg=name)
+
+
+@needs8
+def test_fwt_sharded_batched(rng):
+    from jwave_pro_tpu.parallel.sharded import fwt_sharded, gather_fwt_layout
+    mesh = make_mesh({"data": 2, "signal": 4})
+    xb = rng.standard_normal((4, 256))
+    y = fwt_sharded(xb, DB4, 2, mesh)
+    ref = np.asarray(jw.fwt(xb, DB4, 2))
+    np.testing.assert_allclose(np.asarray(gather_fwt_layout(y, 2, 4)), ref,
+                               atol=1e-10)
