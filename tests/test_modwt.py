@@ -194,3 +194,29 @@ def test_method_selection_rules():
     assert _use_fft("auto", n=1 << 20, m_base=102, dilation=1)  # dmey
     with np.testing.assert_raises(ValueError):
         _use_fft("bogus", 8, 8, 1)
+
+
+def test_modwt2_matches_separable_oracle(rng):
+    # independent check: 2D MODWT == 1D oracle convolutions applied
+    # separably (rows then columns) per level.
+    from jwave_pro_tpu.ops.modwt2d import modwt2
+    x = rng.standard_normal((12, 17))
+    g, h = oracles.modwt_filters(DB4)
+    got = np.asarray(modwt2(x, DB4, 2))
+
+    def conv_rows(a, f):
+        return np.stack([oracles.circular_convolve(r, f) for r in a])
+
+    def conv_cols(a, f):
+        return conv_rows(a.T, f).T
+
+    ll = x
+    want = []
+    for j in (1, 2):
+        gj, hj = oracles.upsample(g, j), oracles.upsample(h, j)
+        rl, rh = conv_rows(ll, gj), conv_rows(ll, hj)
+        want.extend([conv_cols(rl, hj), conv_cols(rh, gj),
+                     conv_cols(rh, hj)])
+        ll = conv_cols(rl, gj)
+    want.append(ll)
+    np.testing.assert_allclose(got, np.stack(want), atol=1e-10)
