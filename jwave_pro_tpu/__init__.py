@@ -33,6 +33,9 @@ from .ops.cwt import (  # noqa: F401
     icwt,
 )
 from .ops.fft import fft, ifft  # noqa: F401
+from .ops.analysis import (  # noqa: F401
+    modwt_covariance, modwt_variance, scale_energies,
+)
 from .ops.lifting import cdf53, cdf97, icdf53, icdf97  # noqa: F401
 from .ops.pywt_compat import (  # noqa: F401
     coeffs_to_flat, flat_to_coeffs, wavedec, waverec,

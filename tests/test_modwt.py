@@ -220,3 +220,23 @@ def test_modwt2_matches_separable_oracle(rng):
         ll = conv_cols(rl, gj)
     want.append(ll)
     np.testing.assert_allclose(got, np.stack(want), atol=1e-10)
+
+
+def test_wavelet_variance_partitions_total(rng):
+    from jwave_pro_tpu.ops.analysis import modwt_variance
+    x = rng.standard_normal(512)
+    lvl = 6
+    nu2 = np.asarray(modwt_variance(x, DB4, lvl))
+    c = np.asarray(jw.modwt(x, DB4, lvl, method="direct"))
+    total = nu2.sum() + np.mean(c[lvl] ** 2)
+    np.testing.assert_allclose(total, np.mean(x ** 2), rtol=1e-10)
+    # white noise: variance roughly halves per scale (detail bands)
+    assert nu2[0] > nu2[3]
+
+
+def test_wavelet_covariance_of_identical_signals(rng):
+    from jwave_pro_tpu.ops.analysis import modwt_covariance, modwt_variance
+    x = rng.standard_normal(256)
+    cov = np.asarray(modwt_covariance(x, x, DB4, 3))
+    var = np.asarray(modwt_variance(x, DB4, 3))
+    np.testing.assert_allclose(cov, var, rtol=1e-12)
