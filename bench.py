@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -33,35 +32,7 @@ import jwave_pro_tpu as jw  # noqa: E402
 TARGET = 1e9  # samples/s/chip (BASELINE.json north star)
 
 
-def _time_chain(step, x, k_short=4, k_long=24, repeats=3):
-    """Time one application of ``step`` by differencing two chain lengths.
-
-    ``step`` must map x → array of x's shape; the chain serializes
-    iterations through a data dependence, and the (k_long − k_short)
-    difference cancels dispatch/tunnel/fetch overhead (which is tens of ms
-    through the axon tunnel — hence the long chains).  ``lax.fori_loop``
-    keeps compile cost independent of chain length.
-    """
-    def chain(v, k):
-        v = jax.lax.fori_loop(0, k, lambda i, u: step(u), v)
-        return jnp.sum(v.ravel()[:16])
-
-    short = jax.jit(lambda v: chain(v, k_short))
-    long = jax.jit(lambda v: chain(v, k_long))
-    float(short(x))  # compile
-    float(long(x))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(short(x))
-        t_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(long(x))
-        t_l = time.perf_counter() - t0
-        best = min(best, (t_l - t_s) / (k_long - k_short))
-    return best
-
-
+from jwave_pro_tpu.utils.profiling import time_chain as _time_chain  # noqa: E402
 
 
 
@@ -70,10 +41,23 @@ def bench_modwt(dtype=jnp.float32, batch=32, n=1 << 20, level=5,
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
                     dtype=dtype)
+    # The chain feeds V_J forward.  On XLA paths that alone would let the
+    # compiler dead-code-eliminate the detail-row convolutions, so the step
+    # also consumes W_1..W_J through a vanishing (1e-30-scaled) feedback —
+    # the measured step provably computes and reads back the full transform.
+    # The fused Pallas path is structurally DCE-proof (one opaque kernel
+    # writes the whole (L+1, B, N) output buffer; XLA cannot partially
+    # eliminate a pallas_call), so its step skips the artificial extra
+    # (L)·N read pass and reflects pure transform cost.
+    uses_pallas = (method in ("auto", "pallas")
+                   and jax.default_backend() == "tpu"
+                   and dtype == jnp.float32)
 
     def step(v):
-        # full forward MODWT; feed V_J back so chained iterations serialize
-        return jw.modwt(v, w, level, method=method)[level]
+        c = jw.modwt(v, w, level, method=method)
+        if uses_pallas:
+            return c[level]
+        return c[level] + 1e-30 * jnp.sum(c[:level], axis=0)
 
     dt = _time_chain(step, x)
     return batch * n / dt
@@ -84,9 +68,14 @@ def bench_modwt_roundtrip(dtype=jnp.float32, batch=8, n=1 << 20, level=5):
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
                     dtype=dtype)
     dt = _time_chain(lambda v: jw.imodwt(jw.modwt(v, w, level), w), x)
-    err = float(jax.jit(
-        lambda v: jnp.max(jnp.abs(jw.imodwt(jw.modwt(v, w, level), w) - v))
-    )(x))
+    # One-shot error check through the donating entry point: the roundtrip
+    # reuses the input signal's HBM buffer for the reconstruction (the
+    # InPlaceFastWaveletTransform / ArrayBufferPool analog — see
+    # tests/test_donation.py).
+    rt = jax.jit(lambda v: jw.imodwt(jw.modwt(v, w, level), w),
+                 donate_argnums=0)
+    x2 = x + 0.0  # private copy; donation invalidates it
+    err = float(jnp.max(jnp.abs(rt(x2) - x)))
     return batch * n / dt, err
 
 

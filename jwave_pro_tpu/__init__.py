@@ -48,8 +48,8 @@ from .ops.compress import (  # noqa: F401
     compression_rate,
 )
 from .ops.denoise import (  # noqa: F401
-    hard_threshold, mad_sigma, modwt_denoise, soft_threshold,
-    universal_threshold,
+    hard_threshold, mad_sigma, modwt_denoise, modwt_denoise_inplace,
+    soft_threshold, universal_threshold,
 )
 from .wavelets.continuous import (  # noqa: F401
     ContinuousWavelet, DOGWavelet, MexicanHatWavelet, MeyerWavelet,

@@ -8,6 +8,7 @@ here as library functions that jit and batch.
 """
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -18,7 +19,7 @@ from .modwt import imodwt, modwt
 
 __all__ = [
     "soft_threshold", "hard_threshold", "universal_threshold",
-    "mad_sigma", "modwt_denoise",
+    "mad_sigma", "modwt_denoise", "modwt_denoise_inplace",
 ]
 
 
@@ -62,3 +63,23 @@ def modwt_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     details = shrink(c[:level], threshold)
     c = jnp.concatenate([details, c[level:]], axis=0)
     return imodwt(c, wavelet, method)
+
+
+@functools.partial(jax.jit, donate_argnums=0,
+                   static_argnames=("wavelet", "level", "mode", "method"))
+def modwt_denoise_inplace(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+                          mode: str = "soft", method: str = "auto"
+                          ) -> jax.Array:
+    """:func:`modwt_denoise` with the input buffer donated.
+
+    This is the TPU-native replacement for the reference's in-place/pooled
+    tier (``InPlaceFastWaveletTransform.java:70-100``,
+    ``utils/ArrayBufferPool.java:24-256``): ``donate_argnums=0`` lets XLA
+    alias the reconstruction onto the input signal's HBM buffer, so the
+    whole denoise roundtrip allocates no second signal-sized output — the
+    same zero-copy guarantee the reference's buffer pool chases, provided by
+    the compiler.  The caller's ``x`` is consumed (deleted) by the call;
+    tests/test_donation.py asserts the input→output aliasing on the compiled
+    executable.
+    """
+    return modwt_denoise(x, wavelet, level, mode=mode, method=method)

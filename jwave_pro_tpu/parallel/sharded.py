@@ -36,7 +36,8 @@ from ..wavelets.base import DiscreteWavelet
 
 __all__ = [
     "modwt_sharded", "imodwt_sharded", "cwt_sharded", "wpt_sharded",
-    "fwt2_sharded", "fwt_sharded", "ifwt_sharded", "gather_fwt_layout",
+    "iwpt_sharded", "fwt2_sharded", "fwt_sharded", "ifwt_sharded",
+    "gather_fwt_layout",
 ]
 
 
@@ -223,32 +224,113 @@ def cwt_sharded(x, scales, wavelet, mesh: Mesh, sampling_rate: float = 1.0,
                      sampling_rate, wavelet.name)
 
 
-def wpt_sharded(x, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
-                packet_axis: str = "scale", batch_axis: str = "data"):
-    """WPT with packets sharded once the tree is deep enough.
+def _wpt_subtree_body(xl, wavelet, level, k, n_dev, axis_name):
+    """shard_map body: replicated levels 1..k, then a purely-local subtree.
 
-    Levels 1..k (k = log2(n_dev)) run replicated-batch style via the normal
-    batched conv; beyond that the packet axis is sharded — each device owns
-    a contiguous subtree and no communication occurs (reference strategy P1:
-    ForkJoinPool over packets, ``ParallelWaveletPacketTransform.java``).
+    ``xl`` is the full (replicated) signal on every device.  The first ``k``
+    levels run identically everywhere (they are the only levels whose
+    packets span devices); each device then slices the level-k packet it
+    owns — by ``lax.axis_index`` — and runs the remaining ``level − k``
+    levels on that 1/n_dev-length segment only.  No collective ops at all:
+    the locality test pins this on the compiled HLO.
     """
     from ..ops.wpt import wpt as _wpt
 
+    n = xl.shape[-1]
+    y = _wpt(xl, wavelet, k) if k else xl
+    seg = n // n_dev
+    idx = lax.axis_index(axis_name)
+    local = lax.dynamic_slice_in_dim(y, idx * seg, seg, axis=-1)
+    if level > k:
+        local = _wpt(local, wavelet, level - k)
+    return local
+
+
+def _iwpt_subtree_body(yl, wavelet, level, k, n_dev, axis_name):
+    """Inverse: local subtree inverse, one all-gather, replicated top.
+
+    Every device computes the same top-k inverse after the gather and
+    returns its own slice (out_spec reassembles the global layout without a
+    replication proof)."""
+    from ..ops.wpt import iwpt as _iwpt
+
+    seg = yl.shape[-1]
+    if level > k:
+        yl = _iwpt(yl, wavelet, level - k)
+    full = lax.all_gather(yl, axis_name, axis=yl.ndim - 1, tiled=True)
+    if k:
+        full = _iwpt(full, wavelet, k)
+    idx = lax.axis_index(axis_name)
+    return lax.dynamic_slice_in_dim(full, idx * seg, seg, axis=-1)
+
+
+def wpt_sharded(x, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
+                packet_axis: str = "scale", batch_axis: str = "data"):
+    """WPT with the packet subtrees distributed across chips.
+
+    The honest analog of reference strategy P1 (ForkJoinPool work-stealing
+    over packets, ``ParallelWaveletPacketTransform.java:188-263``): levels
+    1..k (k = log2(n_dev)) are replicated — their packets span devices —
+    and every deeper level runs on each device's own contiguous level-k
+    packet with **zero communication** (tests assert the compiled HLO
+    contains no collectives).  Output is the usual flat WPT layout with the
+    last axis sharded over ``packet_axis``.
+    """
     x = jnp.asarray(x)
-    y = _wpt(x, wavelet, level)
     n_dev = mesh.shape[packet_axis]
+    if n_dev & (n_dev - 1):
+        raise ValueError(f"packet mesh axis must be a power of two, "
+                         f"got {n_dev}")
     n = x.shape[-1]
     if n % n_dev:
         raise ValueError("signal length not divisible by packet mesh axis")
-    spec = [None] * (x.ndim - 1)
+    k = n_dev.bit_length() - 1
+    if level < k and n_dev > 1:
+        # fewer tree levels than devices: still distribute storage at the
+        # deepest level computed (packets remain whole per device only when
+        # 2^level ≥ n_dev; fall back to k = level → pure slice distribution)
+        k = level
+
+    bspec = [None] * (x.ndim - 1)
     if batch_axis in mesh.axis_names and x.ndim > 1:
-        spec[0] = batch_axis
-    lead = x.shape[:-1]
-    # expose packets as an axis and shard it
-    yp = y.reshape(lead + (n_dev, n // n_dev))
-    yp = lax.with_sharding_constraint(
-        yp, NamedSharding(mesh, P(*spec, packet_axis, None)))
-    return yp.reshape(lead + (n,))
+        bspec[0] = batch_axis
+    in_spec = P(*bspec, None)          # signal replicated
+    out_spec = P(*bspec, packet_axis)  # packets sharded
+
+    body = functools.partial(_wpt_subtree_body, wavelet=wavelet, level=level,
+                             k=k, n_dev=n_dev, axis_name=packet_axis)
+    return shard_map(body, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(x)
+
+
+def iwpt_sharded(y, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
+                 packet_axis: str = "scale", batch_axis: str = "data"):
+    """Inverse of :func:`wpt_sharded` (packet-sharded in, replicated out).
+
+    The deep (local) levels invert with zero communication; one tiled
+    ``all_gather`` reassembles the level-k row before the replicated top-k
+    inverse — the only collective in the compiled program.
+    """
+    y = jnp.asarray(y)
+    n_dev = mesh.shape[packet_axis]
+    if n_dev & (n_dev - 1):
+        raise ValueError(f"packet mesh axis must be a power of two, "
+                         f"got {n_dev}")
+    if y.shape[-1] % n_dev:
+        raise ValueError("signal length not divisible by packet mesh axis")
+    k = min(n_dev.bit_length() - 1, level)
+
+    bspec = [None] * (y.ndim - 1)
+    if batch_axis in mesh.axis_names and y.ndim > 1:
+        bspec[0] = batch_axis
+    in_spec = P(*bspec, packet_axis)
+    out_spec = P(*bspec, packet_axis)
+
+    body = functools.partial(_iwpt_subtree_body, wavelet=wavelet,
+                             level=level, k=k, n_dev=n_dev,
+                             axis_name=packet_axis)
+    return shard_map(body, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(y)
 
 
 def fwt2_sharded(m, wavelet: DiscreteWavelet, mesh: Mesh,

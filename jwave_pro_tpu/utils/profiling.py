@@ -9,25 +9,28 @@ import time
 import jax
 import jax.numpy as jnp
 
-__all__ = ["measure_samples_per_sec", "trace"]
+__all__ = ["time_chain", "measure_samples_per_sec", "trace"]
 
 
-def measure_samples_per_sec(step, x, k_short=2, k_long=8, repeats=3):
-    """Throughput of ``step`` (shape-preserving fn) in samples/s.
+def time_chain(step, x, k_short=4, k_long=24, repeats=3):
+    """Seconds per application of ``step`` (a shape-preserving fn of x).
 
-    Times by differencing two chained-iteration lengths inside one jit —
-    robust against async dispatch and host↔device latency (the reference's
-    ``System.nanoTime`` pattern, ``MODWTFFTPerformanceTest.java:47-152``,
-    measures dispatch on accelerators, not compute).
+    Times by differencing two chained-iteration lengths inside one jit: the
+    chain serializes iterations through a data dependence and the
+    (k_long − k_short) difference cancels dispatch/tunnel/fetch overhead
+    (tens of ms through the axon tunnel — hence the long chains; the
+    reference's ``System.nanoTime`` pattern,
+    ``MODWTFFTPerformanceTest.java:47-152``, would measure dispatch, not
+    compute, on an accelerator).  ``lax.fori_loop`` keeps compile cost
+    independent of chain length.
     """
     def chain(v, k):
-        for _ in range(k):
-            v = step(v)
+        v = jax.lax.fori_loop(0, k, lambda i, u: step(u), v)
         return jnp.sum(v.ravel()[:16])
 
     short = jax.jit(lambda v: chain(v, k_short))
     long = jax.jit(lambda v: chain(v, k_long))
-    float(short(x))
+    float(short(x))  # compile
     float(long(x))
     best = float("inf")
     for _ in range(repeats):
@@ -39,8 +42,16 @@ def measure_samples_per_sec(step, x, k_short=2, k_long=8, repeats=3):
         t_l = time.perf_counter() - t0
         best = min(best, (t_l - t_s) / (k_long - k_short))
     # timing noise can drive the difference to ~0 for trivial steps
-    best = max(best, 1e-9)
-    return x.size / best
+    return max(best, 1e-9)
+
+
+def measure_samples_per_sec(step, x, k_short=4, k_long=24, repeats=3):
+    """Throughput of ``step`` (shape-preserving fn) in samples/s.
+
+    Thin wrapper over :func:`time_chain` (the one chained-timing
+    implementation; ``bench.py`` uses the same).
+    """
+    return x.size / time_chain(step, x, k_short, k_long, repeats)
 
 
 @contextlib.contextmanager

@@ -74,6 +74,54 @@ def test_wpt_packet_sharded_matches(rng):
     np.testing.assert_allclose(got, want, atol=1e-10)
 
 
+_COLLECTIVES = ("all-gather", "all-reduce", "collective-permute",
+                "all-to-all", "reduce-scatter")
+
+
+@needs8
+def test_wpt_sharded_subtree_locality(rng):
+    """The distributed-subtree levels communicate NOTHING: the compiled HLO
+    of the whole forward contains zero collective ops (the honest P1 analog
+    of ``ParallelWaveletPacketTransform.java:188-263`` — packets are
+    independent subproblems)."""
+    mesh = make_mesh({"scale": 8})
+    x = jnp.asarray(rng.standard_normal(1024), jnp.float64)
+    fn = jax.jit(lambda v: wpt_sharded(v, DB4, 5, mesh))
+    hlo = fn.lower(x).compile().as_text()
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, f"unexpected collectives in sharded WPT HLO: {found}"
+
+
+@needs8
+def test_iwpt_sharded_roundtrip_and_single_gather(rng):
+    from jwave_pro_tpu.parallel.sharded import iwpt_sharded
+    mesh = make_mesh({"scale": 8})
+    x = jnp.asarray(rng.standard_normal(1024), jnp.float64)
+    y = wpt_sharded(x, DB4, 5, mesh)
+    xr = np.asarray(iwpt_sharded(y, DB4, 5, mesh))
+    np.testing.assert_allclose(xr, np.asarray(x), atol=1e-8)
+    # exactly one collective: the tiled all-gather reassembling level k
+    fn = jax.jit(lambda v: iwpt_sharded(v, DB4, 5, mesh))
+    hlo = fn.lower(y).compile().as_text()
+    assert hlo.count("all-gather-start") <= 1
+    others = [c for c in _COLLECTIVES if c != "all-gather" and c in hlo]
+    assert not others, f"unexpected collectives in sharded iWPT HLO: {others}"
+
+
+@needs8
+def test_wpt_sharded_batched_shallow(rng):
+    """level < log2(n_dev) degenerates to distributed storage; batched in."""
+    from jwave_pro_tpu.parallel.sharded import iwpt_sharded
+    mesh = make_mesh({"data": 2, "scale": 4})
+    x = rng.standard_normal((4, 512))
+    got = np.asarray(wpt_sharded(x, DB4, 2, mesh, batch_axis="data"))
+    want = np.asarray(jw.wpt(x, DB4, 2))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    xr = np.asarray(iwpt_sharded(jnp.asarray(got), DB4, 2, mesh,
+                                 batch_axis="data"))
+    np.testing.assert_allclose(xr, x, atol=1e-8)
+
+
 @needs8
 def test_fwt2_row_sharded(rng):
     mesh = make_mesh({"data": 8})
