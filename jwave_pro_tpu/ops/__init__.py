@@ -8,8 +8,9 @@ from .modwt import (
 )
 from .modwt2d import imodwt2, modwt2, modwt2_mra
 from .wpt import (
-    basis_coefficients, basis_reconstruct, best_basis, iwpt, log_energy_cost,
-    shannon_entropy_cost, sure_cost, threshold_cost, wpt, wpt_tree,
+    basis_coefficients, basis_reconstruct, best_basis, iwpt, iwpt2, iwpt3,
+    log_energy_cost, shannon_entropy_cost, sure_cost, threshold_cost, wpt,
+    wpt2, wpt3, wpt_tree,
 )
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "circular_convolve_adjoint", "imodwt", "modwt", "modwt_base_filters",
     "modwt_mra",
     "imodwt2", "modwt2", "modwt2_mra",
-    "basis_coefficients", "basis_reconstruct", "best_basis", "iwpt", "log_energy_cost",
-    "shannon_entropy_cost", "sure_cost", "threshold_cost", "wpt", "wpt_tree",
+    "basis_coefficients", "basis_reconstruct", "best_basis", "iwpt", "iwpt2",
+    "iwpt3", "log_energy_cost", "shannon_entropy_cost", "sure_cost",
+    "threshold_cost", "wpt", "wpt2", "wpt3", "wpt_tree",
 ]

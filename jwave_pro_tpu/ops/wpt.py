@@ -26,7 +26,8 @@ from ..utils.validation import check_power_of_two
 from .fwt import analysis_step, synthesis_step, _resolve_level
 
 __all__ = [
-    "wpt", "iwpt", "wpt_tree", "best_basis", "basis_coefficients",
+    "wpt", "iwpt", "wpt2", "iwpt2", "wpt3", "iwpt3", "wpt_tree",
+    "best_basis", "basis_coefficients",
     "shannon_entropy_cost", "log_energy_cost", "threshold_cost", "sure_cost",
 ]
 
@@ -68,6 +69,52 @@ def iwpt(y: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
         yp = synthesis_step(yp, wavelet)
         y = yp.reshape(lead + (n,))
     return y
+
+
+def wpt2(m: jax.Array, wavelet: DiscreteWavelet, level_rows=None,
+         level_cols=None) -> jax.Array:
+    """2D WPT: packet transform along the last axis, then the second-to-last
+    (the separable pattern of ``BasicTransform.java:361-399`` applied to the
+    packet engine; rows/columns batch as one vmapped conv each)."""
+    m = jnp.asarray(m)
+    r = wpt(m, wavelet, level_cols)
+    return jnp.swapaxes(wpt(jnp.swapaxes(r, -1, -2), wavelet, level_rows),
+                        -1, -2)
+
+
+def iwpt2(m: jax.Array, wavelet: DiscreteWavelet, level_rows=None,
+          level_cols=None) -> jax.Array:
+    """Inverse of :func:`wpt2`."""
+    m = jnp.asarray(m)
+    r = jnp.swapaxes(iwpt(jnp.swapaxes(m, -1, -2), wavelet, level_rows),
+                     -1, -2)
+    return iwpt(r, wavelet, level_cols)
+
+
+def wpt3(s: jax.Array, wavelet: DiscreteWavelet,
+         levels=(None, None, None)) -> jax.Array:
+    """3D WPT over the last three axes.
+
+    The reference's generic 3D dispatch (``BasicTransform.java:509-566``:
+    2D slices then the third axis) applies to any engine including WPT;
+    here each axis pass is one batched packet conv."""
+    s = jnp.asarray(s)
+    lp, lq, lr = levels
+    s = wpt(s, wavelet, lr)                                   # last axis
+    s = jnp.swapaxes(wpt(jnp.swapaxes(s, -1, -2), wavelet, lq), -1, -2)
+    s = jnp.swapaxes(wpt(jnp.swapaxes(s, -1, -3), wavelet, lp), -1, -3)
+    return s
+
+
+def iwpt3(s: jax.Array, wavelet: DiscreteWavelet,
+          levels=(None, None, None)) -> jax.Array:
+    """Inverse of :func:`wpt3` (``BasicTransform.java:602-659`` pattern)."""
+    s = jnp.asarray(s)
+    lp, lq, lr = levels
+    s = jnp.swapaxes(iwpt(jnp.swapaxes(s, -1, -3), wavelet, lp), -1, -3)
+    s = jnp.swapaxes(iwpt(jnp.swapaxes(s, -1, -2), wavelet, lq), -1, -2)
+    s = iwpt(s, wavelet, lr)
+    return s
 
 
 def wpt_tree(x: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:

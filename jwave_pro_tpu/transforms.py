@@ -121,16 +121,24 @@ class WaveletPacketTransform(BaseTransform):
         return _iwpt(y, self.wavelet, level)
 
     def forward_2d(self, m, level_rows=None, level_cols=None):
-        r = _wpt_f(m, self.wavelet, level_cols)
-        return jnp.swapaxes(
-            _wpt_f(jnp.swapaxes(r, -1, -2), self.wavelet, level_rows),
-            -1, -2)
+        from .ops.wpt import wpt2
+
+        return wpt2(m, self.wavelet, level_rows, level_cols)
 
     def reverse_2d(self, m, level_rows=None, level_cols=None):
-        r = jnp.swapaxes(
-            _iwpt(jnp.swapaxes(m, -1, -2), self.wavelet, level_rows),
-            -1, -2)
-        return _iwpt(r, self.wavelet, level_cols)
+        from .ops.wpt import iwpt2
+
+        return iwpt2(m, self.wavelet, level_rows, level_cols)
+
+    def forward_3d(self, s, levels=(None, None, None)):
+        from .ops.wpt import wpt3
+
+        return wpt3(s, self.wavelet, levels)
+
+    def reverse_3d(self, s, levels=(None, None, None)):
+        from .ops.wpt import iwpt3
+
+        return iwpt3(s, self.wavelet, levels)
 
     def best_basis(self, x, level=None, cost="shannon"):
         return _best_basis(x, self.wavelet, level, cost)

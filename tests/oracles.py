@@ -171,3 +171,82 @@ def imodwt(coeffs, w):
         v = (circular_convolve_adjoint(v, gj)
              + circular_convolve_adjoint(coeffs[j - 1], hj))
     return v
+
+
+# ---------------------------------------------------------------------------
+# CWT (FFT path) oracle — numpy re-statement of the reference's transformFFT
+# (ContinuousWaveletTransform.java:183-229): pad to next pow-2, one FFT,
+# per-scale multiply by conj(√a·ψ̂(aω)), IFFT, truncate.  ψ̂ formulas are
+# independent numpy restatements of wavelets/continuous/*.java.
+# ---------------------------------------------------------------------------
+
+def _np_psi_hat_morlet(omega, fb=1.0, fc=1.0):
+    f = omega / (2.0 * np.pi)
+    return (np.sqrt(2.0 * np.pi * fb)
+            * np.exp(-2.0 * np.pi ** 2 * fb * (f - fc) ** 2)) + 0j
+
+
+def _np_psi_hat_mexhat(omega, sigma=1.0):
+    norm = 2.0 / (np.sqrt(3.0 * sigma) * np.pi ** 0.25)
+    return (norm * sigma * np.sqrt(2.0 * np.pi) * omega ** 2
+            * np.exp(-0.5 * sigma ** 2 * omega ** 2)) + 0j
+
+
+def _np_psi_hat_paul(omega, m=4):
+    pos = omega > 0
+    safe = np.where(pos, omega, 1.0)
+    return np.where(pos, np.sqrt(2.0 * np.pi) * safe ** m * np.exp(-safe),
+                    0.0) + 0j
+
+
+def _np_psi_hat_dog(omega, n=2, sigma=1.0):
+    df = 1.0
+    k = 2 * n - 1
+    while k > 1:
+        df *= k
+        k -= 2
+    norm = np.sqrt(df / (2.0 ** n * np.sqrt(np.pi) * sigma ** (2 * n + 1)))
+    mag = (norm * np.sqrt(2.0 * np.pi) * sigma ** (n + 1)
+           * np.abs(omega) ** n * np.exp(-0.5 * sigma ** 2 * omega ** 2))
+    return mag * (1j ** (n % 4)) * np.where(n % 2, np.sign(omega), 1.0)
+
+
+def _np_psi_hat_meyer(omega):
+    def nu(x):
+        x = np.clip(x, 0.0, 1.0)
+        return x ** 4 * (35.0 + x * (-84.0 + x * (70.0 - 20.0 * x)))
+
+    aw = np.abs(omega)
+    lo, mid, hi = 2 * np.pi / 3, 4 * np.pi / 3, 8 * np.pi / 3
+    sin_b = np.sin(np.pi / 2 * nu(3 * aw / (2 * np.pi) - 1))
+    cos_b = np.cos(np.pi / 2 * nu(3 * aw / (4 * np.pi) - 1))
+    val = np.where((aw >= lo) & (aw <= mid), sin_b,
+                   np.where((aw > mid) & (aw <= hi), cos_b, 0.0))
+    return val * np.sqrt(2 * np.pi) * np.exp(1j * omega / 2.0)
+
+
+NP_PSI_HATS = {
+    "morlet": _np_psi_hat_morlet,
+    "mexican_hat": _np_psi_hat_mexhat,
+    "paul": _np_psi_hat_paul,
+    "dog3": lambda w: _np_psi_hat_dog(w, n=3),
+    "meyer": _np_psi_hat_meyer,
+}
+
+
+def cwt_fft(x, scales, psi_hat, fs=1.0):
+    """Zero-padded FFT CWT, complex (n_scales, N) output."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[-1]
+    p = 1
+    while p < n:
+        p *= 2
+    xp = np.concatenate([x, np.zeros(p - n)])
+    xf = np.fft.fft(xp)
+    omega = 2.0 * np.pi * np.arange(p) * fs / p
+    omega[np.arange(p) > p // 2] -= 2.0 * np.pi * fs
+    rows = []
+    for a in np.asarray(scales, dtype=np.float64):
+        wf = np.conj(np.sqrt(a) * psi_hat(a * omega))
+        rows.append(np.fft.ifft(xf * wf)[:n])
+    return np.stack(rows)

@@ -43,3 +43,36 @@ def test_modwt_golden(golden):
         w = jw.wavelet(_wname(key[6:-3]))
         got = np.asarray(jw.modwt(x, w, 4, method="direct"))
         np.testing.assert_allclose(got, golden[key], atol=1e-10, err_msg=key)
+
+
+def test_golden_covers_all_pr_wavelets(golden):
+    """Breadth pin: every good_wavelets() member has FWT+WPT+MODWT vectors."""
+    names = {w.name for w in jw.good_wavelets()}
+    for name in names:
+        key = name.replace(" ", "_").replace("/", "-")
+        for prefix, suffix in (("fwt_", ""), ("wpt_", ""), ("modwt_", "_L4")):
+            assert f"{prefix}{key}{suffix}" in golden.files, (prefix, name)
+
+
+_CWT_WAVELETS = {
+    "morlet": lambda: jw.MorletWavelet(),
+    "mexican_hat": lambda: jw.MexicanHatWavelet(),
+    "paul": lambda: jw.PaulWavelet(4),
+    "dog3": lambda: jw.DOGWavelet(n=3),
+    "meyer": lambda: jw.MeyerWavelet(),
+}
+
+
+def test_cwt_golden(golden):
+    """FFT-path CWT pinned for all five continuous families (the golden
+    vectors come from the numpy oracle in tests/oracles.py, an independent
+    restatement of ContinuousWaveletTransform.java:183-229)."""
+    x = golden["input_64"].astype(np.float64)
+    scales = golden["cwt_scales"]
+    for cname, make in _CWT_WAVELETS.items():
+        key = f"cwt_{cname}"
+        if key not in golden.files:
+            continue
+        got = np.asarray(jw.cwt(x, scales, make(), 1.0).coefficients)
+        np.testing.assert_allclose(got, golden[key], atol=1e-10,
+                                   err_msg=cname)

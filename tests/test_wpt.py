@@ -130,3 +130,33 @@ def test_lifting_cdf_roundtrip_and_moments(rng):
     np.testing.assert_allclose(y[16:], 0.0, atol=1e-12)
     y97 = np.asarray(lifting.cdf97(const, level=1))
     np.testing.assert_allclose(y97[16:], 0.0, atol=1e-9)
+
+
+def test_wpt2_roundtrip_and_separable(rng):
+    m = rng.standard_normal((16, 32))
+    y = np.asarray(jw.wpt2(m, DB4, 2, 3))
+    # separability: cols then rows must equal manual passes
+    manual = np.asarray(jw.wpt(m, DB4, 3))
+    manual = np.swapaxes(np.asarray(jw.wpt(np.swapaxes(manual, -1, -2),
+                                           DB4, 2)), -1, -2)
+    np.testing.assert_allclose(y, manual, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jw.iwpt2(y, DB4, 2, 3)), m,
+                               atol=1e-8)
+
+
+def test_wpt3_roundtrip_and_facade(rng):
+    """3D WPT — the reference's generic 3D dispatch applied to the packet
+    engine (BasicTransform.java:509-566)."""
+    s = rng.standard_normal((8, 16, 32))
+    y = np.asarray(jw.wpt3(s, DB4, (1, 2, 2)))
+    assert y.shape == s.shape
+    np.testing.assert_allclose(np.asarray(jw.iwpt3(y, DB4, (1, 2, 2))), s,
+                               atol=1e-8)
+    eng = jw.WaveletPacketTransform(DB4)
+    np.testing.assert_allclose(np.asarray(eng.forward(s, (1, 2, 2))), y,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(eng.reverse(y, (1, 2, 2))), s,
+                               atol=1e-8)
+    # full-depth default levels also roundtrip
+    y2 = jw.wpt3(s, HAAR)
+    np.testing.assert_allclose(np.asarray(jw.iwpt3(y2, HAAR)), s, atol=1e-8)

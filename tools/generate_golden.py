@@ -6,6 +6,12 @@ needs pywt/scipy): coefficients come from the brute-force oracles in
 ``tests/oracles.py`` — independent re-statements of the reference's scalar
 loops — evaluated in float64 on deterministic signals.  Committed as .npz so
 the fast TPU paths are pinned against drift (``tests/test_golden.py``).
+
+Round-2 breadth (VERDICT item 8): every perfect-reconstruction wavelet
+(``good_wavelets()``, 53) is pinned for FWT, WPT and MODWT, and all five
+continuous families for the FFT-path CWT — matching the reference's
+golden-file pattern across its whole surface
+(``scripts/generate_reference_data.py:48-201``).
 """
 from __future__ import annotations
 
@@ -24,10 +30,9 @@ import jwave_pro_tpu as jw  # noqa: E402  (registry only; oracles do the math)
 
 OUT = ROOT / "tests" / "golden"
 
-WAVELETS_FWT = ["Haar", "Haar orthogonal", "Daubechies 2", "Daubechies 4",
-                "Daubechies 20", "Symlet 8", "Coiflet 3", "BiOrthogonal 3/5",
-                "BiOrthogonal 1/1", "Discrete Meyer"]
-WAVELETS_MODWT = ["Haar", "Daubechies 4", "Symlet 8"]
+
+def _key(name: str) -> str:
+    return name.replace(" ", "_").replace("/", "-")
 
 
 def main():
@@ -37,18 +42,22 @@ def main():
     sig100 = rng.standard_normal(100)
 
     payload = {"input_64": sig64, "input_100": sig100}
-    for name in WAVELETS_FWT:
-        w = jw.wavelet(name)
-        key = name.replace(" ", "_").replace("/", "-")
+    wavelets = jw.good_wavelets()
+    for w in wavelets:
+        key = _key(w.name)
         payload[f"fwt_{key}"] = oracles.fwt(sig64, w)
         payload[f"wpt_{key}"] = oracles.wpt(sig64, w, 3)
-    for name in WAVELETS_MODWT:
-        w = jw.wavelet(name)
-        key = name.replace(" ", "_")
         payload[f"modwt_{key}_L4"] = oracles.modwt(sig100, w, 4)
 
+    scales = np.exp(np.linspace(np.log(1.0), np.log(16.0), 8))
+    payload["cwt_scales"] = scales
+    for cname, psi_hat in oracles.NP_PSI_HATS.items():
+        payload[f"cwt_{cname}"] = oracles.cwt_fft(sig64, scales, psi_hat)
+
     np.savez_compressed(OUT / "golden.npz", **payload)
-    print(f"wrote {OUT/'golden.npz'} with {len(payload)} arrays")
+    n_w = len(wavelets)
+    print(f"wrote {OUT/'golden.npz'} with {len(payload)} arrays "
+          f"({n_w} discrete wavelets x 3 transforms + 5 CWT families)")
 
 
 if __name__ == "__main__":
