@@ -136,6 +136,72 @@ def _omega_axis(n: int, fs: float) -> np.ndarray:
     return omega
 
 
+@functools.lru_cache(maxsize=256)
+def _half_spectrum_multipliers(wavelet: ContinuousWavelet, scales: tuple,
+                               padded_n: int, sampling_rate: float):
+    """Host-side (A, B) multipliers on the rfft half grid — f64 numpy.
+
+    The full-spectrum product W(ω) = X(ω)·M(ω) with M(ω) = conj(√a·ψ̂(aω))
+    splits exactly into two Hermitian halves for real input x
+    (X(−ω) = conj X(ω)):
+
+        Re(c) = irfft(X⁺·A),   Im(c) = irfft(X⁺·B)
+
+    with, for interior bins k = 1..P/2−1,
+
+        A_k = (M(ω_k) + conj(M(−ω_k)))/2
+        B_k = −i·(M(ω_k) − conj(M(−ω_k)))/2
+
+    and DC/Nyquist (self-conjugate, appearing once in the full spectrum)
+    A = Re(M), B = Im(M).  This is algebraically identical to the full
+    complex FFT path (golden tests pin it at 1e-10) but reads/writes half
+    the product bins, and for real-even ψ̂ (Mexican Hat, even-order DOG)
+    B ≡ 0 — detected here so :func:`cwt` can skip the second irfft and
+    return *real* coefficients (≈ half the HBM traffic; the scalogram use
+    case).  ψ̂ is evaluated through the library's jnp formulas inside
+    ``jax.ensure_compile_time_eval`` so the cache works under outer traces.
+    """
+    scales_np = np.asarray(scales, dtype=np.float64)[:, None]
+    f = padded_n // 2 + 1
+    omega = (2.0 * math.pi * np.arange(f) * sampling_rate / padded_n)[None, :]
+    # Evaluate ψ̂ eagerly ON THE HOST CPU: under the axon tunnel, eager ops
+    # land on the remote TPU and fetching them back is UNIMPLEMENTED
+    # (CLAUDE.md); ensure_compile_time_eval additionally makes this work
+    # inside an outer trace.
+    with jax.ensure_compile_time_eval(), \
+            jax.default_device(jax.devices("cpu")[0]):
+        m_pos = np.asarray(jnp.conj(wavelet.psi_hat_scaled(
+            jnp.asarray(omega), jnp.asarray(scales_np))))       # M(ω_k)
+        psi_neg = np.asarray(wavelet.psi_hat_scaled(
+            jnp.asarray(-omega), jnp.asarray(scales_np)))       # √a·ψ̂(−aω_k)
+    a = 0.5 * (m_pos + psi_neg)
+    b = -0.5j * (m_pos - psi_neg)
+    # DC bin and (P even) Nyquist bin appear once in the full spectrum
+    a[:, 0] = np.real(m_pos[:, 0])
+    b[:, 0] = np.imag(m_pos[:, 0])
+    if padded_n % 2 == 0:
+        a[:, -1] = np.real(m_pos[:, -1])
+        b[:, -1] = np.imag(m_pos[:, -1])
+    scale_mag = np.abs(a).max() + np.abs(b).max()
+    b_is_zero = bool(np.abs(b).max() <= 1e-14 * max(scale_mag, 1e-300))
+    a_is_zero = bool(np.abs(a).max() <= 1e-14 * max(scale_mag, 1e-300))
+    return a, b, a_is_zero, b_is_zero
+
+
+def _cwt_traced_scales(xp, n, scales_arr, wavelet, sampling_rate, cdtype):
+    """Fallback full-FFT path for traced (non-static) scale grids
+    (the scale-sharded shard_map body passes scales as tracers)."""
+    padded_n = xp.shape[-1]
+    sig_fft = jnp.fft.fft(xp.astype(cdtype), axis=-1)  # (..., P)
+    omega = _omega_axis(padded_n, sampling_rate)  # (P,) static
+    grid_omega = jnp.asarray(omega)[None, :]
+    grid_scale = scales_arr[:, None]
+    wav_fft = jnp.conj(wavelet.psi_hat_scaled(grid_omega, grid_scale))
+    wav_fft = wav_fft.astype(cdtype)  # (S, P)
+    prod = sig_fft[..., None, :] * wav_fft  # (..., S, P)
+    return jnp.fft.ifft(prod, axis=-1)[..., :n]
+
+
 def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
         sampling_rate: float = 1.0, padding: str = "zero") -> CWTResult:
     """FFT-based CWT over a static array of scales.
@@ -144,6 +210,14 @@ def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
     183-229``) and its parallel variants (``:511-607``) in one batched op.
     Input may carry leading batch axes; output coefficients have shape
     ``(..., n_scales, N)``.
+
+    TPU path for real input + static scales: one ``rfft``, half-spectrum
+    products against cached host-side multipliers, batched ``irfft``s
+    (see :func:`_half_spectrum_multipliers`).  For wavelets with real-even
+    ψ̂ (Mexican Hat, even-order DOG) the coefficients are mathematically
+    real and are returned as a *real* array — ``magnitude``/``phase``/
+    ``scalogram`` work unchanged, and HBM traffic halves.  Complex input
+    or traced scales fall back to the full-FFT formulation.
     """
     if wavelet is None:
         wavelet = MorletWavelet()
@@ -153,23 +227,41 @@ def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
     n = x.shape[-1]
     padded_n = next_power_of_two(n)
     xp = pad_signal(x, padded_n, padding)
-
     cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
-    sig_fft = jnp.fft.fft(xp.astype(cdtype), axis=-1)  # (..., P)
 
-    # scales may be static numpy OR a traced jnp array (sharded CWT path)
-    scales_arr = jnp.atleast_1d(jnp.asarray(scales, dtype=jnp.float64
-                                            if x.dtype == jnp.float64
-                                            else jnp.float32))
-    omega = _omega_axis(padded_n, sampling_rate)  # (P,) static
-    # ψ̂ on the (scale, freq) grid — one vectorized evaluation
-    grid_omega = jnp.asarray(omega)[None, :]
-    grid_scale = scales_arr[:, None]
-    wav_fft = jnp.conj(wavelet.psi_hat_scaled(grid_omega, grid_scale))
-    wav_fft = wav_fft.astype(cdtype)  # (S, P)
+    try:
+        scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
+        static_scales = True
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        static_scales = False
 
-    prod = sig_fft[..., None, :] * wav_fft  # (..., S, P)
-    coeff = jnp.fft.ifft(prod, axis=-1)[..., :n]
+    if not static_scales or jnp.issubdtype(x.dtype, jnp.complexfloating):
+        scales_arr = jnp.atleast_1d(jnp.asarray(
+            scales, dtype=jnp.float64 if x.dtype == jnp.float64
+            else jnp.float32))
+        coeff = _cwt_traced_scales(xp, n, scales_arr, wavelet,
+                                   sampling_rate, cdtype)
+    else:
+        scales_arr = jnp.asarray(scales_np, dtype=jnp.float64
+                                 if x.dtype == jnp.float64 else jnp.float32)
+        a, b, a_zero, b_zero = _half_spectrum_multipliers(
+            wavelet, tuple(float(s) for s in scales_np), padded_n,
+            float(sampling_rate))
+        sig_rfft = jnp.fft.rfft(xp, axis=-1)  # (..., F) complex
+        xh = sig_rfft[..., None, :]
+        rdtype = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+
+        def half(mult):
+            mult = jnp.asarray(mult).astype(cdtype)
+            return jnp.fft.irfft(xh * mult, n=padded_n,
+                                 axis=-1)[..., :n].astype(rdtype)
+
+        if b_zero:
+            coeff = half(a)          # mathematically real coefficients
+        elif a_zero:
+            coeff = (1j * half(b)).astype(cdtype)
+        else:
+            coeff = jax.lax.complex(half(a), half(b)).astype(cdtype)
 
     dt = 1.0 / sampling_rate
     time_axis = jnp.asarray(np.arange(n) * dt)
@@ -263,7 +355,8 @@ def _recon_filter(wavelet: ContinuousWavelet, scales: tuple, n: int,
     p = next_power_of_two(n)
     omega = _omega_axis(p, sampling_rate)
     weights = _icwt_weights(scales_np)
-    with jax.ensure_compile_time_eval():
+    with jax.ensure_compile_time_eval(), \
+            jax.default_device(jax.devices("cpu")[0]):
         h = np.zeros(p, dtype=np.complex128)
         for a, w_a in zip(scales_np, weights):
             h += w_a * np.conj(np.asarray(

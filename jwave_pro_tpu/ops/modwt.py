@@ -171,9 +171,9 @@ def _try_pallas(x, wavelet, level, inverse=False):
     """Dispatch to the fused TPU kernel when shape/dtype/backend allow."""
     if jax.default_backend() != "tpu":
         return None
-    if x.dtype != jnp.float32:
-        # Mosaic lane rotates require 32-bit data ("Rotate with non-32-bit
-        # data"); bf16/f64 fall back to the XLA roll path.
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        # bf16 is DMA'd at half traffic and computed in f32 in-VMEM (Mosaic
+        # lane rotates are 32-bit only); f64 falls back to the XLA path.
         return None
     from ..kernels import modwt_pallas as kp
 

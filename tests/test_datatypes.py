@@ -23,6 +23,46 @@ def test_sparse_stores():
     assert np.asarray(blk.to_array()).shape == (4, 4)
 
 
+def test_super_lifecycle_parity():
+    """Super.java:36-100 alloc/erase lifecycle: access before alloc raises
+    NotAllocated; erase drops storage."""
+    ln = datatypes.Line.unallocated(8)
+    assert not ln.is_allocated
+    with pytest.raises(exceptions.NotAllocated):
+        ln.get(0)
+    with pytest.raises(exceptions.NotAllocated):
+        ln.set(0, 1.0)
+    ln = ln.alloc()
+    ln = ln.set(2, 4.0)
+    assert float(ln.get(2)) == 4.0
+    ln2 = ln.erase()
+    with pytest.raises(exceptions.NotAllocated):
+        ln2.get(2)
+    # alloc is idempotent (LineHash.java:159-168)
+    assert ln.alloc() is ln
+
+
+def test_hash_store_semantics():
+    """LineHash parity: O(1) sparse set (no densify), NotFound for unset
+    indices (LineHash.java:183-199), NotValid out of range."""
+    ln = datatypes.Line.sparse_create(1 << 20)  # huge logical size: stays O(1)
+    ln = ln.set(5, 2.5).set(999999, 1.5)
+    assert ln.nnz == 2
+    assert float(ln.get(5)) == 2.5
+    with pytest.raises(exceptions.NotFound):
+        ln.get(6)  # allocated but unset → NotFound, matching the reference
+    with pytest.raises(exceptions.NotValid):
+        ln.get(1 << 21)
+    bc = ln.to_bcoo()
+    assert bc.nse == 2 and bc.shape == (1 << 20,)
+    blk = datatypes.Block.sparse_create(4, 4, offset=(1, 1)).set(2, 3, 7.0)
+    dense = np.asarray(blk.to_array())
+    assert dense[1, 2] == 7.0 and dense.sum() == 7.0
+    assert np.asarray(blk.to_bcoo().todense()).sum() == 7.0
+    cp = blk.copy()
+    assert float(cp.get(2, 3)) == 7.0
+
+
 def test_superline_windows():
     sl = datatypes.SuperLine(np.arange(10.0), window=4, hop=2)
     w = np.asarray(sl.windows())
