@@ -51,7 +51,7 @@ def bench_modwt(dtype=jnp.float32, batch=32, n=1 << 20, level=5,
     # (L)·N read pass and reflects pure transform cost.
     uses_pallas = (method in ("auto", "pallas")
                    and jax.default_backend() == "tpu"
-                   and dtype == jnp.float32)
+                   and dtype in (jnp.float32, jnp.bfloat16))
 
     def step(v):
         c = jw.modwt(v, w, level, method=method)
@@ -103,17 +103,26 @@ def bench_wpt(dtype=jnp.float32, batch=64, n=65536, level=6):
     return batch * n / dt
 
 
-def bench_cwt(dtype=jnp.float32, batch=16, n=4096, n_scales=64):
-    wav = jw.MorletWavelet()
+def bench_cwt(dtype=jnp.float32, batch=16, n=4096, n_scales=64,
+              wavelet=None):
+    wav = wavelet if wavelet is not None else jw.MorletWavelet()
     scales = jw.generate_log_scales(1.0, 256.0, n_scales)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
                     dtype=dtype)
+
     def step(v):
         c = jw.cwt(v, scales, wav, 1.0).coefficients
-        return jnp.real(c[..., 0, :]) + jnp.imag(c[..., -1, :])
+        if jnp.iscomplexobj(c):
+            return jnp.real(c[..., 0, :]) + jnp.imag(c[..., -1, :])
+        return c[..., 0, :] + c[..., -1, :]  # real-ψ̂ fast path
 
     dt = _time_chain(step, x)
     return batch * n / dt  # input samples/s (each producing 64 scales)
+
+
+def bench_modwt_batch1(n=1 << 24, level=5):
+    """Single long series (the financial use case): folded Pallas path."""
+    return bench_modwt(batch=1, n=n, level=level)
 
 
 def main():
@@ -138,12 +147,16 @@ def main():
             return sps
 
         run("modwt_roundtrip", _rt)
+        run("modwt_batch1_16M", bench_modwt_batch1)
+        run("modwt_bf16", lambda: bench_modwt(dtype=jnp.bfloat16))
         run("modwt_xla_direct", lambda: bench_modwt(method="direct"))
         run("modwt_fft_method", lambda: bench_modwt(method="fft", batch=8))
         run("fwt_db4_1m", bench_fwt)
         run("fwt2_db4_1024", bench_fwt2d)
         run("wpt_sym8_L6", bench_wpt)
         run("cwt_morlet_64scales", bench_cwt)
+        run("cwt_mexhat_64scales",
+            lambda: bench_cwt(wavelet=jw.MexicanHatWavelet()))
     value = results["modwt_db4_L5"]
     print(json.dumps({
         "metric": "modwt_db4_level5_samples_per_sec_per_chip",
