@@ -302,14 +302,24 @@ def fwt(x: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
     n = x.shape[-1]
     check_power_of_two(n)
     level = _resolve_level(n, level, wavelet)
+    # Accumulate detail segments and concatenate ONCE: a per-level
+    # ``concat([head, rest])`` would copy the full N-width array every level
+    # (≈ 2·L·N bytes of pure shuffling for an L-level pyramid — this was the
+    # round-1 "tail levels are slow" cost, not kernel-launch overhead).
     h = n
+    cur = x
+    details = []
     for _ in range(level):
         if h < wavelet.transform_wavelength or h < 2:
             break
-        head = analysis_step(x[..., :h], wavelet)
-        x = jnp.concatenate([head, x[..., h:]], axis=-1) if h < n else head
+        out = analysis_step(cur, wavelet)
+        cur = out[..., :h // 2]
+        details.append(out[..., h // 2:])
         h //= 2
-    return x
+    if not details:
+        return x
+    # widths always sum to n: [a_L | d_L | d_{L-1} | … | d_1]
+    return jnp.concatenate([cur, *reversed(details)], axis=-1)
 
 
 def ifwt(y: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
@@ -327,10 +337,16 @@ def ifwt(y: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
             break
         widths.append(hh)
         hh //= 2
+    if not widths:
+        return y
+    # Work on the growing prefix only; detail segments are read in place and
+    # the final signal assembles without per-level full-N concats (mirror of
+    # the forward's single-concat structure).
+    cur = y[..., :widths[-1] // 2]  # a_L
     for h in reversed(widths):
-        head = synthesis_step(y[..., :h], wavelet)
-        y = jnp.concatenate([head, y[..., h:]], axis=-1) if h < n else head
-    return y
+        head = jnp.concatenate([cur, y[..., h // 2:h]], axis=-1)
+        cur = synthesis_step(head, wavelet)
+    return cur
 
 
 def fwt2(m: jax.Array, wavelet: DiscreteWavelet, level_rows=None,

@@ -68,13 +68,17 @@ def test_bfloat16_runs_fused(rng):
                                np.asarray(x32, np.float64), atol=5e-2)
 
 
-def test_plan_prefers_16_sublanes():
+def test_plan_fold_preferences():
+    # unfolded always wins (fold prep costs an XLA re-layout pass)
     sub, tile, fold = pallas_supported(8, 1 << 20, 5, 8)
-    assert sub == 16 and fold == 2      # folds up to 16 rows
-    sub, tile, fold = pallas_supported(1, 1 << 20, 5, 8)
-    assert sub == 16 and fold == 16     # batch=1 long series
+    assert sub == 8 and fold == 1
     sub, tile, fold = pallas_supported(32, 1 << 20, 5, 8)
     assert sub == 16 and fold == 1
+    # mandatory fold: prefer 16 sublanes with smallest fold
+    sub, tile, fold = pallas_supported(1, 1 << 20, 5, 8)
+    assert sub == 16 and fold == 16
+    sub, tile, fold = pallas_supported(2, 1 << 20, 5, 8)
+    assert sub == 16 and fold == 8
     assert pallas_supported(5, 999, 5, 8) is None  # nothing divides
 
 
