@@ -111,10 +111,18 @@ def bench_cwt(dtype=jnp.float32, batch=16, n=4096, n_scales=64,
                     dtype=dtype)
 
     def step(v):
+        # DCE-proof: the scale axis is an FFT *batch* dim, so consuming only
+        # c[0] / c[-1] would let XLA slice away 62 of 64 scales' inverse
+        # FFTs entirely (this inflated the round-1 CWT figure).  The
+        # 1e-30-scaled sums force every scale row (and both quadratures) to
+        # be computed and read back.
         c = jw.cwt(v, scales, wav, 1.0).coefficients
+        re = jnp.real(c)
+        out = re[..., 0, :] + 1e-30 * jnp.sum(re, axis=-2)
         if jnp.iscomplexobj(c):
-            return jnp.real(c[..., 0, :]) + jnp.imag(c[..., -1, :])
-        return c[..., 0, :] + c[..., -1, :]  # real-ψ̂ fast path
+            im = jnp.imag(c)
+            out = out + im[..., -1, :] + 1e-30 * jnp.sum(im, axis=-2)
+        return out
 
     dt = _time_chain(step, x)
     return batch * n / dt  # input samples/s (each producing 64 scales)

@@ -193,19 +193,20 @@ def _forward_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, halo, tile,
 def _fold_forward(x, fold, halo):
     """(B, N) → (B·F, N/F + halo) rows with per-row circular left context.
 
-    Construction: circular-pad the flat signal once, then stack ``fold``
-    overlapping contiguous windows (stride N/F, width N/F + halo) — every
-    read is a contiguous slice, so XLA lowers the whole prep to one fused
-    copy pass.
+    Construction: reshape to rows first ((B, N) → (B·F, N/F) is free — same
+    byte order), then roll only the (rows, halo) tail block across the fold
+    axis.  Rolling/stacking the full-size array measures pathologically slow
+    on TPU (cross-sublane shuffles of a 64 MB array); the tails are ~0.1% of
+    the data.
     """
     b, n = x.shape
-    xe = jnp.concatenate([x[:, n - halo:], x], axis=-1)  # (b, n + halo)
     if fold == 1:
-        return xe
+        return jnp.concatenate([x[:, n - halo:], x], axis=-1)
     nloc = n // fold
-    rows = [jax.lax.slice_in_dim(xe, r * nloc, r * nloc + nloc + halo,
-                                 axis=-1) for r in range(fold)]
-    return jnp.stack(rows, axis=-2).reshape(b * fold, nloc + halo)
+    xr = x.reshape(b * fold, nloc)
+    tails = xr[:, nloc - halo:].reshape(b, fold, halo)
+    tails = jnp.roll(tails, 1, axis=1).reshape(b * fold, halo)
+    return jnp.concatenate([tails, xr], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "level", "tile",
@@ -320,17 +321,18 @@ def _inverse_kernel(c_hbm, out_ref, vbuf, wbufs, sem_v, sem_w, *, g, h,
 def _fold_inverse(c, fold, halo):
     """(L+1, B, N) → (L+1, B·F, N/F + halo) with per-row right context.
 
-    Same contiguous-window construction as :func:`_fold_forward`, with the
-    circular pad appended on the right (adjoint convolutions read forward).
+    Mirror of :func:`_fold_forward` with the circular pad appended on the
+    right (adjoint convolutions read forward): reshape rows first (free),
+    roll only the small (·, halo) head block backwards across the fold axis.
     """
     rows, b, n = c.shape
-    ce = jnp.concatenate([c, c[:, :, :halo]], axis=-1)  # (L+1, b, n + halo)
     if fold == 1:
-        return ce
+        return jnp.concatenate([c, c[:, :, :halo]], axis=-1)
     nloc = n // fold
-    wins = [jax.lax.slice_in_dim(ce, r * nloc, r * nloc + nloc + halo,
-                                 axis=-1) for r in range(fold)]
-    return jnp.stack(wins, axis=-2).reshape(rows, b * fold, nloc + halo)
+    cr = c.reshape(rows, b * fold, nloc)
+    heads = cr[:, :, :halo].reshape(rows, b, fold, halo)
+    heads = jnp.roll(heads, -1, axis=2).reshape(rows, b * fold, halo)
+    return jnp.concatenate([cr, heads], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "tile", "interpret"))

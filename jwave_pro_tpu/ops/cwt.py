@@ -188,6 +188,55 @@ def _half_spectrum_multipliers(wavelet: ContinuousWavelet, scales: tuple,
     return a, b, a_is_zero, b_is_zero
 
 
+@functools.lru_cache(maxsize=256)
+def _full_spectrum_multipliers(wavelet: ContinuousWavelet, scales: tuple,
+                               padded_n: int, sampling_rate: float):
+    """Host-side full-spectrum (Mr, Mi) f32 planes + real-output flag.
+
+    M[s, k] = conj(√a_s·ψ̂(a_s·ω_k)) on the full ω grid — feeds the fused
+    Pallas multiply+iDFT kernel (kernels/cwt_pallas.py).  ``is_real`` is
+    True when M is Hermitian in k (real-even ψ̂ → real coefficients).
+    """
+    scales_np = np.asarray(scales, dtype=np.float64)[:, None]
+    omega = _omega_axis(padded_n, sampling_rate)[None, :]
+    with jax.ensure_compile_time_eval(), \
+            jax.default_device(jax.devices("cpu")[0]):
+        m = np.asarray(jnp.conj(wavelet.psi_hat_scaled(
+            jnp.asarray(omega), jnp.asarray(scales_np))))
+    mirror = np.conj(np.roll(m[:, ::-1], 1, axis=-1))  # conj(M[-k])
+    is_real = bool(np.max(np.abs(m - mirror)) <=
+                   1e-12 * max(float(np.max(np.abs(m))), 1e-300))
+    return (np.ascontiguousarray(m.real, dtype=np.float32),
+            np.ascontiguousarray(m.imag, dtype=np.float32), is_real)
+
+
+def _cwt_fused_tpu(xp, n, scales_np, wavelet, sampling_rate):
+    """TPU fused path: one XLA FFT of the signal, then the Pallas
+    multiply+iDFT kernel.  Returns coefficients (..., S, n) — complex64,
+    or float32 when ψ̂ is real-even — or None if unsupported."""
+    from ..kernels.cwt_pallas import cwt_fused_supported, cwt_ifft_fused
+
+    padded_n = xp.shape[-1]
+    n_scales = scales_np.shape[0]
+    lead = xp.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    plan = cwt_fused_supported(b, n_scales, padded_n)
+    if plan is None:
+        return None
+    sb, p1, p2 = plan
+    mr, mi, is_real = _full_spectrum_multipliers(
+        wavelet, tuple(float(s) for s in scales_np), padded_n,
+        float(sampling_rate))
+    xf = jnp.fft.fft(xp.reshape(b, padded_n).astype(jnp.complex64), axis=-1)
+    re, im = cwt_ifft_fused(jnp.real(xf), jnp.imag(xf),
+                            jnp.asarray(mr), jnp.asarray(mi),
+                            p1=p1, p2=p2, sb=sb)
+    if is_real:
+        return re[..., :n].reshape(lead + (n_scales, n))
+    c = jax.lax.complex(re, im)[..., :n]
+    return c.reshape(lead + (n_scales, n))
+
+
 def _cwt_traced_scales(xp, n, scales_arr, wavelet, sampling_rate, cdtype):
     """Fallback full-FFT path for traced (non-static) scale grids
     (the scale-sharded shard_map body passes scales as tracers)."""
@@ -203,7 +252,8 @@ def _cwt_traced_scales(xp, n, scales_arr, wavelet, sampling_rate, cdtype):
 
 
 def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
-        sampling_rate: float = 1.0, padding: str = "zero") -> CWTResult:
+        sampling_rate: float = 1.0, padding: str = "zero",
+        method: str = "auto") -> CWTResult:
     """FFT-based CWT over a static array of scales.
 
     Equivalent of ``transformFFT`` (``ContinuousWaveletTransform.java:
@@ -241,6 +291,17 @@ def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
             else jnp.float32))
         coeff = _cwt_traced_scales(xp, n, scales_arr, wavelet,
                                    sampling_rate, cdtype)
+    elif (method == "fused" and x.dtype == jnp.float32
+          and (fused := _cwt_fused_tpu(xp, n, scales_np, wavelet,
+                                       sampling_rate)) is not None):
+        # Opt-in fused Pallas multiply+iDFT (kernels/cwt_pallas.py).
+        # Measured on v5e it TIES the XLA half-spectrum path for Morlet
+        # (0.080 vs 0.078 G inputs/s) and loses for real-ψ̂ wavelets —
+        # Mosaic's precision menu (1-pass bf16 or 6-pass f32; a hand-rolled
+        # 3-pass split lands glue-bound at ~8% MXU) erases the fusion win
+        # at these shapes, so 'auto' keeps the XLA formulations.
+        scales_arr = jnp.asarray(scales_np, dtype=jnp.float32)
+        coeff = fused
     else:
         scales_arr = jnp.asarray(scales_np, dtype=jnp.float64
                                  if x.dtype == jnp.float64 else jnp.float32)

@@ -105,3 +105,54 @@ def test_grad_through_fused(rng):
         modwt_fused(v, DB4, 2, 8192, True) ** 2))(x)
     # A is orthonormal-ish (PR property): grad of ||Ax||² = 2·AᵀAx = 2x
     np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x), atol=1e-4)
+
+
+class TestCWTFused:
+    """Fused multiply+iDFT CWT kernel (kernels/cwt_pallas.py) — interpret
+    mode vs the XLA half-spectrum path."""
+
+    def test_fused_matches_xla_morlet(self, rng):
+        import jwave_pro_tpu as jw
+        from jwave_pro_tpu.ops.cwt import _cwt_fused_tpu, cwt, pad_signal
+
+        x = jnp.asarray(rng.standard_normal((3, 1000)), jnp.float32)
+        scales = jw.generate_log_scales(1.0, 64.0, 16)
+        want = np.asarray(cwt(x, scales, jw.MorletWavelet(), 2.0)
+                          .coefficients)
+        xp = pad_signal(x, 1024)
+        got = _cwt_fused_tpu(xp, 1000, np.asarray(scales),
+                             jw.MorletWavelet(), 2.0)
+        assert got is not None and got.shape == (3, 16, 1000)
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+    def test_fused_real_wavelet_returns_real(self, rng):
+        import jwave_pro_tpu as jw
+        from jwave_pro_tpu.ops.cwt import _cwt_fused_tpu, cwt, pad_signal
+
+        x = jnp.asarray(rng.standard_normal(512), jnp.float32)
+        scales = jw.generate_log_scales(1.0, 32.0, 8)
+        wav = jw.MexicanHatWavelet()
+        want = np.asarray(cwt(x, scales, wav).coefficients)
+        assert not np.iscomplexobj(want)  # XLA real path
+        got = _cwt_fused_tpu(pad_signal(x, 512), 512, np.asarray(scales),
+                             wav, 1.0)
+        assert got is not None and not np.iscomplexobj(np.asarray(got))
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+    def test_fused_unsupported_shapes(self):
+        from jwave_pro_tpu.kernels.cwt_pallas import cwt_fused_supported
+
+        assert cwt_fused_supported(4, 64, 4096) is not None
+        assert cwt_fused_supported(4, 64, 6000) is None   # non-pow2
+        assert cwt_fused_supported(4, 64, 32) is None     # too small
+        assert cwt_fused_supported(4, 7, 4096) == (1, 32, 128)  # sb=1
+
+    def test_fused_method_dispatch(self, rng):
+        import jwave_pro_tpu as jw
+        from jwave_pro_tpu.ops.cwt import cwt
+
+        x = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+        scales = jw.generate_log_scales(1.0, 32.0, 8)
+        a = cwt(x, scales, jw.MorletWavelet(), method="fused").coefficients
+        b = cwt(x, scales, jw.MorletWavelet()).coefficients
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
