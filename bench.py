@@ -133,6 +133,23 @@ def bench_modwt_batch1(n=1 << 24, level=5):
     return bench_modwt(batch=1, n=n, level=level)
 
 
+def bench_denoise(batch=32, n=1 << 20, level=5, method="fused"):
+    """Full denoise round trip (forward → soft-shrink → inverse).
+
+    method='fused' = single-pass kernel (coefficients never touch HBM);
+    fixed threshold so the entry measures the transform chain, not the
+    universal-threshold median.  Both methods compute the identical
+    pipeline — nothing here is DCE-able (output depends on every level).
+    """
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    dtype=jnp.float32)
+    dt = _time_chain(
+        lambda v: jw.modwt_denoise(v, w, level, threshold=0.8,
+                                   method=method), x)
+    return batch * n / dt
+
+
 def main():
     results = {}
     results["modwt_db4_L5"] = bench_modwt()
@@ -157,6 +174,8 @@ def main():
         run("modwt_roundtrip", _rt)
         run("modwt_batch1_16M", bench_modwt_batch1)
         run("modwt_bf16", lambda: bench_modwt(dtype=jnp.bfloat16))
+        run("denoise_fused", bench_denoise)
+        run("denoise_xla", lambda: bench_denoise(method="auto"))
         run("modwt_xla_direct", lambda: bench_modwt(method="direct"))
         run("modwt_fft_method", lambda: bench_modwt(method="fft", batch=8))
         run("fwt_db4_1m", bench_fwt)

@@ -30,9 +30,11 @@ dtypes: float32 natively; bfloat16 signals are DMA'd as bf16 (half the HBM
 traffic) and converted to f32 in VMEM for compute (Mosaic lane rotates are
 32-bit only), outputs stored back as bf16.
 
-Circular boundaries: the caller prepends the last ``halo`` samples (forward)
-or appends the first ``halo`` (adjoint/inverse), so in-kernel indexing never
-wraps.
+Circular boundaries: each window's ``halo`` lanes are DMA'd in-kernel from
+a tiny per-row tails/heads side array (wrap tile) or from the adjacent lanes
+of the main array (interior tiles) — no padded copy of the signal or of the
+(L+1)-row coefficient set is ever materialized (r2.1; the padded-concat
+construction used before cost a full extra HBM pass per call).
 
 Semantics are identical to ops/modwt.py's direct path (and therefore to
 ``MODWTTransform.circularConvolve`` on upsampled filters,
@@ -132,18 +134,29 @@ def _f32(v):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _forward_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, halo, tile,
-                    sublanes, out_dtype):
-    """One grid step: window (S, tile+halo) → out (level+1, S, tile).
+def _forward_kernel(x_hbm, tails_hbm, out_ref, bufs, sems_m, sems_h, *, g, h,
+                    level, halo, tile, sublanes, out_dtype):
+    """One grid step: window (S, halo + tile) → out (level+1, S, tile).
 
     Input windows revolve through two VMEM buffers: the next grid step's
     window is prefetched while this one computes (guide: "Patterns: Double
     Buffering", adapted across grid steps via the linear step index).
+
+    The circular left context is assembled IN-KERNEL with a second small DMA
+    (r2.1): the ``halo`` lanes of every window come from ``tails_hbm``
+    (shape (nj, rows, halo) — tile-major so the dynamic tile index lands on
+    an untiled leading dim; Mosaic cannot prove 128-divisibility for a
+    ``j*tile − halo`` lane offset).  The r1/r2 kernels instead DMA'd from a
+    pre-concatenated (rows, halo + nloc) array, which cost a full extra
+    read+write pass of the signal in XLA just to prepend 0.1% of context;
+    building the per-tile context table reads/writes only halo/tile ≈ 3%.
+
     Shifted taps are realized with ``pltpu.roll`` on full-width values —
     Mosaic requires 128-lane-aligned memref slices, so unaligned VMEM
     slicing is out; rolls rotate garbage into the (write-masked) halo lanes
     instead.  ``halo`` is pre-rounded to a multiple of 128 so the stored
-    ``[halo:]`` tail slice is aligned.
+    ``[halo:]`` tail slice (and the two DMA destination slices) stay
+    lane-aligned.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -156,15 +169,28 @@ def _forward_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, halo, tile,
     step = i * nj + j
     slot = step % 2
 
-    def dma(sl, ii, jj):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(ii * sublanes, sublanes),
-                     pl.ds(jj * tile, tile + halo)],
-            bufs.at[sl], sems.at[sl])
+    def dmas(sl, ii, jj):
+        rows = pl.ds(ii * sublanes, sublanes)
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[rows, pl.ds(jj * tile, tile)],
+                bufs.at[sl, :, pl.ds(halo, tile)], sems_m.at[sl]),
+            pltpu.make_async_copy(
+                tails_hbm.at[jj, rows],
+                bufs.at[sl, :, pl.ds(0, halo)], sems_h.at[sl]),
+        )
+
+    def start(sl, ii, jj):
+        for d in dmas(sl, ii, jj):
+            d.start()
+
+    def wait(sl):
+        for d in dmas(sl, i, j):
+            d.wait()
 
     @pl.when(step == 0)
     def _():
-        dma(slot, i, j).start()
+        start(slot, i, j)
 
     last_j = j == nj - 1
     nxt_i = jnp.where(last_j, i + 1, i)
@@ -172,10 +198,10 @@ def _forward_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, halo, tile,
 
     @pl.when(step + 1 < ni * nj)
     def _():
-        dma((step + 1) % 2, nxt_i, nxt_j).start()
+        start((step + 1) % 2, nxt_i, nxt_j)
 
-    dma(slot, i, j).wait()
-    v = _f32(bufs[slot])  # (S, tile + halo); garbage creeps in from the left
+    wait(slot)
+    v = _f32(bufs[slot])  # (S, halo + tile); garbage creeps in from the left
     for lvl in range(1, level + 1):
         d = 1 << (lvl - 1)
         w_acc = None
@@ -190,23 +216,28 @@ def _forward_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, halo, tile,
     out_ref[level, :, :] = v[:, halo:].astype(out_dtype)
 
 
-def _fold_forward(x, fold, halo):
-    """(B, N) → (B·F, N/F + halo) rows with per-row circular left context.
+def _fold_tails(x, fold, halo, tile):
+    """(B, N) → ((B·F, N/F) rows, (nj, B·F, halo) per-tile left context).
 
-    Construction: reshape to rows first ((B, N) → (B·F, N/F) is free — same
-    byte order), then roll only the (rows, halo) tail block across the fold
-    axis.  Rolling/stacking the full-size array measures pathologically slow
-    on TPU (cross-sublane shuffles of a 64 MB array); the tails are ~0.1% of
-    the data.
+    The rows view is a plain reshape ((B, N) → (B·F, N/F) is free — same
+    byte order).  ``tails[j, r]`` is the ``halo`` samples preceding tile j
+    of row r: the previous tile's tail for interior tiles, and — on the wrap
+    tile j = 0 — the previous FOLD row's last tail, circular across each
+    signal's fold (fold seams add halo/(N/F) ≈ 0.1% redundant work).  Only
+    halo/tile ≈ 3% of the signal is read/written to build it; no padded
+    copy of the signal is ever materialized.
     """
     b, n = x.shape
-    if fold == 1:
-        return jnp.concatenate([x[:, n - halo:], x], axis=-1)
     nloc = n // fold
-    xr = x.reshape(b * fold, nloc)
-    tails = xr[:, nloc - halo:].reshape(b, fold, halo)
-    tails = jnp.roll(tails, 1, axis=1).reshape(b * fold, halo)
-    return jnp.concatenate([tails, xr], axis=-1)
+    xr = x if fold == 1 else x.reshape(b * fold, nloc)
+    nj = nloc // tile
+    t_tails = xr.reshape(b * fold, nj, tile)[:, :, tile - halo:]
+    ctx = jnp.roll(t_tails, 1, axis=1)  # same-row previous tile (circular)
+    if fold > 1:
+        first = t_tails[:, -1].reshape(b, fold, halo)
+        first = jnp.roll(first, 1, axis=1).reshape(b * fold, halo)
+        ctx = ctx.at[:, 0].set(first)
+    return xr, ctx.transpose(1, 0, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "level", "tile",
@@ -236,7 +267,7 @@ def _modwt_fused_impl(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))
     rows, nloc = b * fold, n // fold
-    xp = _fold_forward(x, fold, halo)
+    xr, tails = _fold_tails(x, fold, halo, tile)
 
     kernel = functools.partial(_forward_kernel, g=g, h=h, level=level,
                                halo=halo, tile=tile, sublanes=sublanes,
@@ -244,17 +275,19 @@ def _modwt_fused_impl(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     out = pl.pallas_call(
         kernel,
         grid=(rows // sublanes, nloc // tile),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((level + 1, sublanes, tile),
                                lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((level + 1, rows, nloc), dt),
         scratch_shapes=[
-            pltpu.VMEM((2, sublanes, tile + halo), dt),
+            pltpu.VMEM((2, sublanes, halo + tile), dt),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_pick_interpret(interpret),
-    )(xp)
+    )(xr, tails)
     if fold > 1:
         out = out.reshape(level + 1, b, n)
     return out
@@ -264,8 +297,9 @@ def _modwt_fused_impl(x: jax.Array, wavelet: DiscreteWavelet, level: int,
 # Inverse
 # ---------------------------------------------------------------------------
 
-def _inverse_kernel(c_hbm, out_ref, vbuf, wbufs, sem_v, sem_w, *, g, h,
-                    level, halo, tile, sublanes, out_dtype):
+def _inverse_kernel(c_hbm, heads_hbm, out_ref, vbuf, wbufs, sem_v, sem_vh,
+                    sem_w, sem_wh, *, g, h, level, halo, tile, sublanes,
+                    out_dtype):
     """One grid step of the inverse: coefficient windows → signal tile.
 
     Implements V_{j-1} = adj(V_j, g̃_j) + adj(W_j, h̃_j) (MODWTTransform.
@@ -277,6 +311,13 @@ def _inverse_kernel(c_hbm, out_ref, vbuf, wbufs, sem_v, sem_w, *, g, h,
     with the next level's row prefetched during the current level's compute,
     so VMEM is 3·(S, tile+halo) instead of (L+1)·(S, tile+halo) and the
     (L+1) HBM row reads overlap compute.
+
+    The circular right context is assembled in-kernel (r2.1, mirroring the
+    forward): every window's ``halo`` lanes come from ``heads_hbm``
+    (shape (L+1, nj, rows, halo), tile-major) — replacing the r2
+    pre-concatenated (L+1, rows, nloc+halo) array, whose construction cost
+    a full extra read+write pass of the ENTIRE coefficient set (6× the
+    signal) and was the round-trip regression (1.9 G).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -285,24 +326,38 @@ def _inverse_kernel(c_hbm, out_ref, vbuf, wbufs, sem_v, sem_w, *, g, h,
     j = pl.program_id(1)
     m = len(g)
     rows_sel = pl.ds(i * sublanes, sublanes)
-    cols_sel = pl.ds(j * tile, tile + halo)
+    main_sel = pl.ds(j * tile, tile)
 
-    def dma_w(sl, row):
-        return pltpu.make_async_copy(c_hbm.at[row, rows_sel, cols_sel],
-                                     wbufs.at[sl], sem_w.at[sl])
+    def row_dmas(row, sl, sem_m, sem_h):
+        # destination = vbuf (sl None) or wbufs slot sl
+        def dst(part):
+            return vbuf.at[:, part] if sl is None else wbufs.at[sl, :, part]
 
-    copy_v = pltpu.make_async_copy(c_hbm.at[level, rows_sel, cols_sel],
-                                   vbuf, sem_v)
-    copy_v.start()
-    dma_w(0, level - 1).start()
-    copy_v.wait()
+        return (
+            pltpu.make_async_copy(c_hbm.at[row, rows_sel, main_sel],
+                                  dst(pl.ds(0, tile)), sem_m),
+            pltpu.make_async_copy(heads_hbm.at[row, j, rows_sel],
+                                  dst(pl.ds(tile, halo)), sem_h),
+        )
+
+    def start_row(row, sl, sem_m, sem_h):
+        for d in row_dmas(row, sl, sem_m, sem_h):
+            d.start()
+
+    def wait_row(row, sl, sem_m, sem_h):
+        for d in row_dmas(row, sl, sem_m, sem_h):
+            d.wait()
+
+    start_row(level, None, sem_v, sem_vh)
+    start_row(level - 1, 0, sem_w.at[0], sem_wh.at[0])
+    wait_row(level, None, sem_v, sem_vh)
     v = _f32(vbuf[:, :])  # (S, tile + halo); garbage creeps from the right
     width = tile + halo
     for lvl in range(level, 0, -1):
         cur = (level - lvl) % 2
         if lvl > 1:  # prefetch the next level's W row into the other buffer
-            dma_w(1 - cur, lvl - 2).start()
-        dma_w(cur, lvl - 1).wait()
+            start_row(lvl - 2, 1 - cur, sem_w.at[1 - cur], sem_wh.at[1 - cur])
+        wait_row(lvl - 1, cur, sem_w.at[cur], sem_wh.at[cur])
         wrow = _f32(wbufs[cur])
         d = 1 << (lvl - 1)
         acc = None
@@ -318,21 +373,26 @@ def _inverse_kernel(c_hbm, out_ref, vbuf, wbufs, sem_v, sem_w, *, g, h,
     out_ref[:, :] = v[:, :tile].astype(out_dtype)
 
 
-def _fold_inverse(c, fold, halo):
-    """(L+1, B, N) → (L+1, B·F, N/F + halo) with per-row right context.
+def _fold_heads(c, fold, halo, tile):
+    """(L+1, B, N) → ((L+1, B·F, N/F) rows, (L+1, nj, B·F, halo) context).
 
-    Mirror of :func:`_fold_forward` with the circular pad appended on the
-    right (adjoint convolutions read forward): reshape rows first (free),
-    roll only the small (·, halo) head block backwards across the fold axis.
+    Mirror of :func:`_fold_tails` for the adjoint direction (adjoint
+    convolutions read forward): ``heads[·, j, r]`` is the ``halo`` samples
+    following tile j of row r — the next tile's head, wrapping to the NEXT
+    fold row's first head on the last tile.  No padded copy of the
+    coefficient set is materialized.
     """
-    rows, b, n = c.shape
-    if fold == 1:
-        return jnp.concatenate([c, c[:, :, :halo]], axis=-1)
+    nrows, b, n = c.shape
     nloc = n // fold
-    cr = c.reshape(rows, b * fold, nloc)
-    heads = cr[:, :, :halo].reshape(rows, b, fold, halo)
-    heads = jnp.roll(heads, -1, axis=2).reshape(rows, b * fold, halo)
-    return jnp.concatenate([cr, heads], axis=-1)
+    cr = c if fold == 1 else c.reshape(nrows, b * fold, nloc)
+    nj = nloc // tile
+    t_heads = cr.reshape(nrows, b * fold, nj, tile)[:, :, :, :halo]
+    ctx = jnp.roll(t_heads, -1, axis=2)  # same-row next tile (circular)
+    if fold > 1:
+        last = t_heads[:, :, 0].reshape(nrows, b, fold, halo)
+        last = jnp.roll(last, -1, axis=2).reshape(nrows, b * fold, halo)
+        ctx = ctx.at[:, :, nj - 1].set(last)
+    return cr, ctx.transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "tile", "interpret"))
@@ -356,7 +416,7 @@ def _imodwt_fused_impl(c: jax.Array, wavelet: DiscreteWavelet,
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))
     krows, nloc = b * fold, n // fold
-    cp = _fold_inverse(c, fold, halo)
+    cr, heads = _fold_heads(c, fold, halo, tile)
 
     kernel = functools.partial(_inverse_kernel, g=g, h=h, level=level,
                                halo=halo, tile=tile, sublanes=sublanes,
@@ -364,7 +424,8 @@ def _imodwt_fused_impl(c: jax.Array, wavelet: DiscreteWavelet,
     out = pl.pallas_call(
         kernel,
         grid=(krows // sublanes, nloc // tile),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((sublanes, tile), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((krows, nloc), dt),
@@ -372,10 +433,12 @@ def _imodwt_fused_impl(c: jax.Array, wavelet: DiscreteWavelet,
             pltpu.VMEM((sublanes, tile + halo), dt),
             pltpu.VMEM((2, sublanes, tile + halo), dt),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_pick_interpret(interpret),
-    )(cp)
+    )(cr, heads)
     if fold > 1:
         out = out.reshape(b, n)
     return out

@@ -54,7 +54,29 @@ def modwt_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
 
     Matches the pipeline of ``MODWTExample.java:125-172``.  ``threshold``
     defaults to the universal threshold estimated from the level-1 details.
+
+    ``method='fused'`` runs the whole forward→shrink→inverse chain as ONE
+    Pallas kernel (kernels/denoise_pallas.py): the coefficients never touch
+    HBM, cutting traffic from 2(L+2) to ~2 passes.  The default threshold
+    then costs one extra single-level pass (the universal threshold's
+    median is a global statistic and cannot live inside a tiled kernel).
     """
+    if method == "fused":
+        from ..kernels.denoise_pallas import modwt_denoise_fused
+
+        xf = jnp.asarray(x)
+        squeeze = xf.ndim == 1
+        if squeeze:
+            xf = xf[None, :]
+        if xf.ndim != 2:
+            raise ValueError("method='fused' supports (N,) or (B, N) input")
+        if threshold is None:
+            w1 = modwt(xf, wavelet, 1, "direct")[0]
+            threshold = universal_threshold(w1, xf.shape[-1])
+        thr = jnp.broadcast_to(jnp.asarray(threshold, jnp.float32),
+                               (xf.shape[0],))
+        out = modwt_denoise_fused(xf, thr, wavelet, level, mode)
+        return out[0] if squeeze else out
     c = modwt(x, wavelet, level, method)
     n = x.shape[-1]
     if threshold is None:

@@ -156,3 +156,67 @@ class TestCWTFused:
         a = cwt(x, scales, jw.MorletWavelet(), method="fused").coefficients
         b = cwt(x, scales, jw.MorletWavelet()).coefficients
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+class TestDenoiseFused:
+    """Single-pass denoise kernel (kernels/denoise_pallas.py) — interpret
+    mode vs the XLA modwt_denoise pipeline."""
+
+    @pytest.mark.parametrize("batch,n,level", [
+        (8, 4096, 3),     # fold=1
+        (1, 32768, 4),    # batch=1 folded (seams exercise both contexts)
+        (2, 16384, 3),    # small batch folded
+    ])
+    def test_matches_xla_pipeline(self, batch, n, level, rng):
+        from jwave_pro_tpu.kernels.denoise_pallas import (
+            denoise_fused_supported, modwt_denoise_fused)
+
+        x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+        assert denoise_fused_supported(batch, n, level, DB4.length)
+        thr = jnp.full((batch,), 0.8, jnp.float32)
+        got = np.asarray(modwt_denoise_fused(x, thr, DB4, level,
+                                             interpret=True))
+        want = np.asarray(jw.modwt_denoise(x, DB4, level, threshold=0.8,
+                                           method="direct"))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_hard_mode(self, rng):
+        from jwave_pro_tpu.kernels.denoise_pallas import modwt_denoise_fused
+
+        x = jnp.asarray(rng.standard_normal((8, 4096)), jnp.float32)
+        thr = jnp.full((8,), 0.5, jnp.float32)
+        got = np.asarray(modwt_denoise_fused(x, thr, DB4, 3, mode="hard",
+                                             interpret=True))
+        want = np.asarray(jw.modwt_denoise(x, DB4, 3, mode="hard",
+                                           threshold=0.5, method="direct"))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_public_method_fused_default_threshold(self, rng):
+        """method='fused' with auto (universal) threshold ≡ the XLA path."""
+        x = jnp.asarray(rng.standard_normal((2, 8192)), jnp.float32)
+        got = np.asarray(jw.modwt_denoise(x, DB4, 3, method="fused"))
+        want = np.asarray(jw.modwt_denoise(x, DB4, 3, method="direct"))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_per_row_thresholds(self, rng):
+        from jwave_pro_tpu.kernels.denoise_pallas import modwt_denoise_fused
+
+        x = jnp.asarray(rng.standard_normal((8, 4096)), jnp.float32)
+        thr = jnp.asarray(np.linspace(0.1, 2.0, 8), jnp.float32)
+        got = np.asarray(modwt_denoise_fused(x, thr, DB4, 2, interpret=True))
+        c = jw.modwt(x, DB4, 2, method="direct")
+        det = jw.soft_threshold(c[:2], thr[None, :, None])
+        want = np.asarray(jw.imodwt(jnp.concatenate([det, c[2:]], 0), DB4,
+                                    method="direct"))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_unsupported_window(self):
+        from jwave_pro_tpu.kernels.denoise_pallas import (
+            denoise_fused_supported)
+
+        from jwave_pro_tpu.kernels.modwt_pallas import pallas_supported
+
+        # level 5 Db4 halo (rounded 256)·2 ≥ tile 512 → rejected even
+        # though the plain transform kernel still runs that shape
+        assert pallas_supported(8, 512, 5, 8) is not None
+        assert denoise_fused_supported(8, 512, 5, 8) is None

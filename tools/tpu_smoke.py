@@ -55,6 +55,11 @@ def main():
     ok &= check("pallas roundtrip", err, 1e-4)
 
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.modwt_denoise(v, w, 4, threshold=0.8, method="fused")
+        - jw.modwt_denoise(v, w, 4, threshold=0.8, method="direct"))))(x))
+    ok &= check("fused denoise ≡ xla pipeline", err, 1e-5)
+
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
         jw.ifwt(jw.fwt(v, w), w) - v)))(x))
     ok &= check("fwt matmul roundtrip", err, 1e-4)
 
