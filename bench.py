@@ -133,6 +133,32 @@ def bench_modwt_batch1(n=1 << 24, level=5):
     return bench_modwt(batch=1, n=n, level=level)
 
 
+def bench_modwt_1d(n=1 << 24, level=5):
+    """Single long series through the 1D (N,) contract — avoids the
+    degenerate (1, N) layout that throttles the batch=1 entry."""
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
+
+    def step(v):
+        c = jw.modwt(v, w, level)
+        return c[level] + 1e-30 * jnp.sum(c[:level], axis=0)
+
+    return n / _time_chain(step, x)
+
+
+def bench_variance(batch=32, n=1 << 20, level=5):
+    """Fused single-pass wavelet variance (coefficients never hit HBM)."""
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    jnp.float32)
+
+    def step(v):
+        s = jw.modwt_variance(v, w, level, method="fused")
+        return v + 1e-30 * jnp.sum(s)
+
+    return batch * n / _time_chain(step, x)
+
+
 def bench_denoise(batch=32, n=1 << 20, level=5, method="fused"):
     """Full denoise round trip (forward → soft-shrink → inverse).
 
@@ -174,6 +200,8 @@ def main():
         run("modwt_roundtrip", _rt)
         run("modwt_batch1_16M", bench_modwt_batch1)
         run("modwt_bf16", lambda: bench_modwt(dtype=jnp.bfloat16))
+        run("modwt_1d_16M", bench_modwt_1d)
+        run("variance_fused", bench_variance)
         run("denoise_fused", bench_denoise)
         run("denoise_xla", lambda: bench_denoise(method="auto"))
         run("modwt_xla_direct", lambda: bench_modwt(method="direct"))

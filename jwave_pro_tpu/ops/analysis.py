@@ -25,9 +25,37 @@ def modwt_variance(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     The detail rows of the MODWT partition the sample variance:
     ``Σ_j ν²_j + mean(V_J²) − mean(x)² = Var[x]`` (energy preservation of
     the √2-normalized filter bank).
+
+    On TPU, f32/bf16 (B, N)/(N,) inputs auto-dispatch to the single-pass
+    fused kernel (kernels/variance_pallas.py) — the coefficients never
+    touch HBM, so the whole statistic costs ~one read of the signal.
+    ``method='fused'`` forces it (raising if the shape is unsupported);
+    any other explicit method uses the corresponding transform path.
     """
+    out = _try_var_fused(x, wavelet, level, method)
+    if out is not None:
+        return out
     c = modwt(x, wavelet, level, method)
     return jnp.mean(c[:level] ** 2, axis=-1)
+
+
+def _try_var_fused(x, wavelet, level, method):
+    if method not in ("auto", "fused"):
+        return None
+    x = jnp.asarray(x)
+    if method == "auto":
+        if jax.default_backend() != "tpu" or x.ndim not in (1, 2) \
+                or x.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+    from ..kernels.variance_pallas import modwt_var_fused, var_fused_supported
+
+    b, n = (1, x.shape[0]) if x.ndim == 1 else x.shape
+    if var_fused_supported(b, n, level, wavelet.length) is None:
+        if method == "fused":
+            raise ValueError(
+                f"fused variance unavailable for shape {x.shape}")
+        return None
+    return modwt_var_fused(x, wavelet, level)[:level]
 
 
 def modwt_covariance(x: jax.Array, y: jax.Array, wavelet: DiscreteWavelet,

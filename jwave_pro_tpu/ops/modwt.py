@@ -178,15 +178,23 @@ def _try_pallas(x, wavelet, level, inverse=False):
     from ..kernels import modwt_pallas as kp
 
     if inverse:
-        if x.ndim != 3:
+        # (L+1, B, N) batched, or (L+1, N) single series (1D fast path —
+        # avoids the degenerate (1, N) layout; see modwt_pallas).
+        if x.ndim == 3:
+            rows, b, n = x.shape
+        elif x.ndim == 2:
+            (rows, n), b = x.shape, 1
+        else:
             return None
-        rows, b, n = x.shape
         if kp.pallas_supported(b, n, rows - 1, wavelet.length) is None:
             return None
         return kp.imodwt_fused(x, wavelet)
-    if x.ndim != 2:
+    if x.ndim == 2:
+        b, n = x.shape
+    elif x.ndim == 1:
+        (n,), b = x.shape, 1
+    else:
         return None
-    b, n = x.shape
     if kp.pallas_supported(b, n, level, wavelet.length) is None:
         return None
     return kp.modwt_fused(x, wavelet, level)

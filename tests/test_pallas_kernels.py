@@ -220,3 +220,71 @@ class TestDenoiseFused:
         # though the plain transform kernel still runs that shape
         assert pallas_supported(8, 512, 5, 8) is not None
         assert denoise_fused_supported(8, 512, 5, 8) is None
+
+
+class Test1DFastPath:
+    """(N,) → (L+1, N) contract (dodges the degenerate (1, N) layout)."""
+
+    def test_forward_1d_matches_2d(self, rng):
+        x = jnp.asarray(rng.standard_normal(1 << 15), jnp.float32)
+        got = np.asarray(modwt_fused(x, DB4, 4, interpret=True))
+        assert got.shape == (5, 1 << 15)
+        want = np.asarray(modwt_fused(x[None, :], DB4, 4, interpret=True))[:, 0]
+        np.testing.assert_allclose(got, want, atol=0)
+
+    def test_roundtrip_1d(self, rng):
+        x = jnp.asarray(rng.standard_normal(1 << 15), jnp.float32)
+        c = modwt_fused(x, DB4, 3, interpret=True)
+        xr = np.asarray(imodwt_fused(c, DB4, interpret=True))
+        assert xr.shape == x.shape
+        np.testing.assert_allclose(xr, np.asarray(x), atol=2e-5)
+
+    def test_public_1d_dispatch_cpu_falls_back(self, rng):
+        # On CPU the public API uses the XLA path; semantics must agree
+        x = jnp.asarray(rng.standard_normal(1 << 14), jnp.float32)
+        c = jw.modwt(x, DB4, 3)
+        assert c.shape == (4, 1 << 14)
+        np.testing.assert_allclose(np.asarray(jw.imodwt(c, DB4)),
+                                   np.asarray(x), atol=1e-5)
+
+
+class TestVarianceFused:
+    """Single-pass wavelet variance (kernels/variance_pallas.py)."""
+
+    @pytest.mark.parametrize("batch,n,level", [
+        (8, 4096, 3),
+        (1, 32768, 5),   # folded batch-1
+        (2, 16384, 2),
+    ])
+    def test_matches_transform_then_mean(self, batch, n, level, rng):
+        from jwave_pro_tpu.kernels.variance_pallas import modwt_var_fused
+
+        x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+        got = np.asarray(modwt_var_fused(x, DB4, level, interpret=True))
+        assert got.shape == (level + 1, batch)
+        c = _ref(x, level)
+        want = np.mean(c ** 2, axis=-1)
+        np.testing.assert_allclose(got, want, rtol=2e-5)
+
+    def test_1d_shape(self, rng):
+        from jwave_pro_tpu.kernels.variance_pallas import modwt_var_fused
+
+        x = jnp.asarray(rng.standard_normal(1 << 14), jnp.float32)
+        got = np.asarray(modwt_var_fused(x, DB4, 3, interpret=True))
+        assert got.shape == (4,)
+
+    def test_public_method_fused(self, rng):
+        x = jnp.asarray(rng.standard_normal((4, 8192)), jnp.float32)
+        got = np.asarray(jw.modwt_variance(x, DB4, 3, method="fused"))
+        want = np.asarray(jw.modwt_variance(x, DB4, 3, method="direct"))
+        assert got.shape == want.shape == (3, 4)
+        np.testing.assert_allclose(got, want, rtol=2e-5)
+
+    def test_variance_partition(self, rng):
+        """Σ_j ν²_j + mean(V²) = mean(x²) (energy preservation)."""
+        from jwave_pro_tpu.kernels.variance_pallas import modwt_var_fused
+
+        x = jnp.asarray(rng.standard_normal((8, 4096)), jnp.float32)
+        v = np.asarray(modwt_var_fused(x, DB4, 4, interpret=True))
+        np.testing.assert_allclose(v.sum(0), np.mean(np.asarray(x) ** 2, -1),
+                                   rtol=1e-5)
