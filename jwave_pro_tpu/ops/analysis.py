@@ -64,7 +64,18 @@ def modwt_covariance(x: jax.Array, y: jax.Array, wavelet: DiscreteWavelet,
 
     Decomposes Cov[x, y] by scale (plus the V_J cross term) — the tool
     behind lead/lag and co-movement analysis across horizons.
+
+    When the fused variance kernel applies (see :func:`modwt_variance`),
+    the covariance is computed by polarization —
+    ``cov = (var(x+y) − var(x−y))/4`` — exact by linearity of the MODWT,
+    two single-pass kernels instead of 2·(L+2) coefficient passes.
     """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if x.shape == y.shape:
+        out = _try_var_fused(x + y, wavelet, level, method)
+        if out is not None:
+            return (out - _try_var_fused(x - y, wavelet, level, method)) / 4.0
     cx = modwt(x, wavelet, level, method)
     cy = modwt(y, wavelet, level, method)
     return jnp.mean(cx[:level] * cy[:level], axis=-1)

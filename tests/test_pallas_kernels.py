@@ -288,3 +288,12 @@ class TestVarianceFused:
         v = np.asarray(modwt_var_fused(x, DB4, 4, interpret=True))
         np.testing.assert_allclose(v.sum(0), np.mean(np.asarray(x) ** 2, -1),
                                    rtol=1e-5)
+
+    def test_covariance_polarization(self, rng):
+        """cov = (var(x+y) − var(x−y))/4 — exact by MODWT linearity."""
+        x = jnp.asarray(rng.standard_normal((4, 8192)), jnp.float32)
+        y = jnp.asarray(0.5 * np.asarray(x)
+                        + rng.standard_normal((4, 8192)), jnp.float32)
+        got = np.asarray(jw.modwt_covariance(x, y, DB4, 3, method="fused"))
+        want = np.asarray(jw.modwt_covariance(x, y, DB4, 3, method="direct"))
+        np.testing.assert_allclose(got, want, atol=1e-5)

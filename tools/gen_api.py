@@ -37,6 +37,9 @@ SECTIONS = [
     ("jwave_pro_tpu.parallel", "Meshes + sharded transforms"),
     ("jwave_pro_tpu.streaming", "Streaming + chunked processing"),
     ("jwave_pro_tpu.kernels.modwt_pallas", "Fused TPU kernels"),
+    ("jwave_pro_tpu.kernels.denoise_pallas", "Fused single-pass denoise"),
+    ("jwave_pro_tpu.kernels.variance_pallas", "Fused wavelet variance"),
+    ("jwave_pro_tpu.kernels.cwt_pallas", "Fused CWT kernel"),
     ("jwave_pro_tpu.datatypes", "Data stores"),
     ("jwave_pro_tpu.exceptions", "Exception hierarchy"),
     ("jwave_pro_tpu.utils.validation", "Shape/level helpers"),
