@@ -1,0 +1,180 @@
+"""Wavelet-domain analysis tests: variance-built statistics + coherence.
+
+Covers the tools built on the reference's proposed (never implemented)
+financial roadmap (`docs/FINANCIAL_ROADMAP.md`): per-scale correlation,
+lagged cross-correlation, and CWT squared wavelet coherence with
+Torrence–Compo smoothing.  The MODWT variance/covariance primitives
+themselves are covered in test_modwt.py / test_pallas_kernels.py.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import jwave_pro_tpu as jw
+from jwave_pro_tpu.ops.analysis import (
+    _coherence_smoothers, _smooth, modwt_correlation,
+    modwt_cross_correlation, wavelet_coherence,
+)
+from jwave_pro_tpu.ops.cwt import generate_log_scales
+from jwave_pro_tpu.wavelets.continuous import (
+    MexicanHatWavelet, MorletWavelet,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+DB4 = jw.wavelet("Daubechies 4")
+
+
+class TestModwtCorrelation:
+    def test_self_correlation_is_one(self, rng):
+        x = rng.standard_normal(512)
+        rho = np.asarray(modwt_correlation(x, x, DB4, 4))
+        np.testing.assert_allclose(rho, 1.0, atol=1e-10)
+
+    def test_bounded_and_symmetric(self, rng):
+        x = rng.standard_normal(512)
+        y = 0.5 * x + rng.standard_normal(512)
+        rho = np.asarray(modwt_correlation(x, y, DB4, 4))
+        assert np.all(np.abs(rho) <= 1.0 + 1e-12)
+        rho_t = np.asarray(modwt_correlation(y, x, DB4, 4))
+        np.testing.assert_allclose(rho, rho_t, atol=1e-10)
+
+    def test_anticorrelated(self, rng):
+        x = rng.standard_normal(512)
+        rho = np.asarray(modwt_correlation(x, -x, DB4, 3))
+        np.testing.assert_allclose(rho, -1.0, atol=1e-10)
+
+
+class TestModwtCrossCorrelation:
+    def test_recovers_circular_lag(self, rng):
+        x = rng.standard_normal(1024)
+        lag = 5
+        y = np.roll(x, lag)  # y[t] = x[t-lag] → x leads y by `lag`
+        cc = np.asarray(modwt_cross_correlation(x, y, DB4, 4, 8))
+        assert cc.shape == (4, 17)
+        assert np.all(cc.argmax(axis=1) - 8 == lag)
+        np.testing.assert_allclose(cc.max(axis=1), 1.0, atol=1e-10)
+
+    def test_zero_lag_column_matches_correlation(self, rng):
+        x = rng.standard_normal(512)
+        y = rng.standard_normal(512)
+        cc = np.asarray(modwt_cross_correlation(x, y, DB4, 3, 4))
+        rho = np.asarray(modwt_correlation(x, y, DB4, 3, method="direct"))
+        np.testing.assert_allclose(cc[:, 4], rho, atol=1e-10)
+
+    def test_oracle_parity(self, rng):
+        """Brute-force definition: mean_t W^x[t]·W^y[t+τ] / √(ν_x ν_y)."""
+        x = rng.standard_normal(256)
+        y = rng.standard_normal(256)
+        lvl, ml = 3, 3
+        cc = np.asarray(modwt_cross_correlation(x, y, DB4, lvl, ml))
+        cx = np.asarray(jw.modwt(x, DB4, lvl))[:lvl]
+        cy = np.asarray(jw.modwt(y, DB4, lvl))[:lvl]
+        denom = np.sqrt((cx ** 2).mean(-1) * (cy ** 2).mean(-1))
+        for ti, tau in enumerate(range(-ml, ml + 1)):
+            want = np.mean(cx * np.roll(cy, -tau, axis=-1), axis=-1) / denom
+            np.testing.assert_allclose(cc[:, ti], want, atol=1e-10)
+
+
+class TestWaveletCoherence:
+    def test_self_coherence_is_one(self, rng):
+        x = rng.standard_normal(512)
+        scales = np.asarray(generate_log_scales(2, 32, 16))
+        res = wavelet_coherence(x, x, scales)
+        r2 = np.asarray(res.coherence)
+        np.testing.assert_allclose(r2, 1.0, atol=1e-8)
+
+    def test_bounded(self, rng):
+        x = rng.standard_normal(512)
+        y = rng.standard_normal(512)
+        scales = np.asarray(generate_log_scales(2, 32, 16))
+        r2 = np.asarray(wavelet_coherence(x, y, scales).coherence)
+        assert r2.min() >= 0.0 and r2.max() <= 1.0
+
+    def test_common_tone_high_coherence(self, rng):
+        """Two noisy copies of one tone: coherence ≈ 1 at the tone scale,
+        low elsewhere."""
+        n = 1024
+        t = np.arange(n)
+        tone = np.sin(2 * np.pi * t / 32)
+        x = tone + 0.05 * rng.standard_normal(n)
+        y = -0.7 * tone + 0.05 * rng.standard_normal(n)
+        w = MorletWavelet()
+        scales = np.asarray(generate_log_scales(2, 64, 24))
+        res = wavelet_coherence(x, y, scales, w)
+        # Morlet: scale for period P is a ≈ P·fc (fc ≈ 0.849/ω0-form);
+        # just pick the scale row with max mean |Wx| as "the tone scale"
+        mag = np.asarray(jw.cwt(x, scales, w).magnitude).mean(-1)
+        srow = int(mag.argmax())
+        r2 = np.asarray(res.coherence)
+        assert r2[srow].mean() > 0.9
+        # anti-phase relationship → phase ≈ ±π at the tone scale
+        ph = np.asarray(res.phase)[srow]
+        assert np.abs(ph).mean() > 2.5
+
+    def test_smoothing_matches_direct_oracle(self, rng):
+        """FFT-realized smoothing == direct circular convolution + boxcar."""
+        n, s_count = 128, 10
+        scales = tuple(np.exp(np.linspace(np.log(2), np.log(16), s_count)))
+        tmult, width = _coherence_smoothers(scales, n, 1.0, 0.6)
+        p = rng.standard_normal((s_count, n))
+        got = np.asarray(_smooth(jnp.asarray(p), tmult, width))
+        a = np.asarray(scales)
+        d = np.arange(n, dtype=float)
+        d = np.minimum(d, n - d)
+        ker = np.exp(-0.5 * (d[None, :] / a[:, None]) ** 2)
+        ker /= ker.sum(1, keepdims=True)
+        ts = np.stack([np.real(np.fft.ifft(np.fft.fft(p[s]) *
+                                           np.fft.fft(ker[s])))
+                       for s in range(s_count)])
+        # edge-truncated boxcar over scales
+        h = width // 2
+        want = np.zeros_like(ts)
+        for i in range(s_count):
+            lo, hi = max(i - h, 0), min(i + (width - 1 - h), s_count - 1)
+            want[i] = ts[lo:hi + 1].mean(0)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_complex_smoothing_matches_real_pair(self, rng):
+        n, s_count = 128, 8
+        scales = tuple(np.linspace(2.0, 9.0, s_count))  # non-log → width 1
+        tmult, width = _coherence_smoothers(scales, n, 1.0, 0.6)
+        assert width == 1
+        pr = rng.standard_normal((s_count, n))
+        pi = rng.standard_normal((s_count, n))
+        got = np.asarray(_smooth(jnp.asarray(pr + 1j * pi), tmult, width))
+        wr = np.asarray(_smooth(jnp.asarray(pr), tmult, width))
+        wi = np.asarray(_smooth(jnp.asarray(pi), tmult, width))
+        np.testing.assert_allclose(got, wr + 1j * wi, atol=1e-12)
+
+    def test_real_psi_hat_wavelet(self, rng):
+        """Mexican Hat returns real coefficients; coherence stays valid and
+        phase is the sign (0 / π)."""
+        x = rng.standard_normal(256)
+        y = rng.standard_normal(256)
+        scales = np.asarray(generate_log_scales(2, 16, 10))
+        res = wavelet_coherence(x, y, scales, MexicanHatWavelet())
+        r2 = np.asarray(res.coherence)
+        assert r2.min() >= 0.0 and r2.max() <= 1.0
+        assert set(np.round(np.unique(np.asarray(res.phase)), 6)) <= {
+            0.0, np.round(np.pi, 6)}
+
+    def test_jittable(self, rng):
+        x = rng.standard_normal(256).astype(np.float32)
+        y = rng.standard_normal(256).astype(np.float32)
+        scales = tuple(np.asarray(generate_log_scales(2, 16, 8)))
+
+        @jax.jit
+        def f(x, y):
+            return wavelet_coherence(x, y, scales).coherence
+
+        r2 = np.asarray(f(x, y))
+        want = np.asarray(wavelet_coherence(x, y, np.asarray(scales))
+                          .coherence)
+        np.testing.assert_allclose(r2, want, rtol=2e-5, atol=2e-5)

@@ -68,6 +68,17 @@ def main():
         jw.iwpt(jw.wpt(v, sym8, 6), sym8, 6) - v)))(xw))
     ok &= check("wpt sym8 L6 roundtrip", err, 1e-3)
 
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.modwt_correlation(v, v, w, 4) - 1.0)))(x[0]))
+    ok &= check("modwt self-correlation ≡ 1", err, 1e-4)
+
+    cc_scales = tuple(float(s) for s in np.asarray(
+        jw.generate_log_scales(2.0, 32.0, 16)))
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.wavelet_coherence(v, v, cc_scales).coherence - 1.0)))(
+        x[0, :2048]))
+    ok &= check("self wavelet-coherence ≡ 1", err, 1e-3)
+
     scales = jw.generate_log_scales(1.0, 128.0, 64)
     finite = bool(float(jax.jit(lambda v: jnp.sum(jnp.where(jnp.isfinite(
         jnp.abs(jw.cwt(v, scales, jw.MorletWavelet.from_omega0(6.0),
