@@ -32,6 +32,7 @@ from .ops.cwt import (  # noqa: F401
     CWTResult, cwt, cwt_direct, generate_linear_scales, generate_log_scales,
     icwt,
 )
+from .ops.cwt2d import CWT2Result, cwt2  # noqa: F401
 from .ops.fft import fft, ifft  # noqa: F401
 from .ops.analysis import (  # noqa: F401
     WTCResult, modwt_correlation, modwt_covariance, modwt_cross_correlation,
@@ -55,6 +56,9 @@ from .ops.denoise import (  # noqa: F401
 from .wavelets.continuous import (  # noqa: F401
     ContinuousWavelet, DOGWavelet, MexicanHatWavelet, MeyerWavelet,
     MorletWavelet, PaulWavelet, continuous_wavelet,
+)
+from .wavelets.continuous2d import (  # noqa: F401
+    ContinuousWavelet2D, MexicanHat2D, Morlet2D, continuous_wavelet2d,
 )
 from .transforms import (  # noqa: F401
     AncientEgyptianDecomposition, ContinuousWaveletTransform,

@@ -86,6 +86,14 @@ def main():
     print(f"  [{'OK ' if finite else 'FAIL'}] cwt 64-scale batched finite")
     ok &= finite
 
+    # 2D CWT: real half-plane fast path ≡ full complex plane on device.
+    img = x[:2, :4096].reshape(2, 64, 64)
+    s2 = (2.0, 4.0, 8.0)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.cwt2(v, s2).coefficients
+        - jnp.real(jw.cwt2(v.astype(jnp.complex64), s2).coefficients))))(img))
+    ok &= check("cwt2 real path ≡ complex path", err, 1e-5)
+
     print("TPU smoke:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
