@@ -35,9 +35,9 @@ from ..ops.modwt import _check_level, modwt_base_filters
 from ..wavelets.base import DiscreteWavelet
 
 __all__ = [
-    "modwt_sharded", "imodwt_sharded", "cwt_sharded", "wpt_sharded",
-    "iwpt_sharded", "fwt2_sharded", "fwt_sharded", "ifwt_sharded",
-    "gather_fwt_layout",
+    "modwt_sharded", "imodwt_sharded", "cwt_sharded", "cwt2_sharded",
+    "wpt_sharded", "iwpt_sharded", "fwt2_sharded", "fwt_sharded",
+    "ifwt_sharded", "gather_fwt_layout",
 ]
 
 
@@ -222,6 +222,82 @@ def cwt_sharded(x, scales, wavelet, mesh: Mesh, sampling_rate: float = 1.0,
     time_axis = jnp.asarray(np.arange(x.shape[-1]) * dt)
     return CWTResult(coeffs, jnp.asarray(scales_np), time_axis,
                      sampling_rate, wavelet.name)
+
+
+def cwt2_sharded(x, scales, wavelet=None, mesh: Mesh | None = None,
+                 angles=None, sampling_rate: float = 1.0,
+                 scale_axis: str = "scale", batch_axis: str = "data"):
+    """2D CWT with the (scale × angle) plane axis sharded (P2 analog, 2D).
+
+    The multiplier stack conj(a·ψ̂(a·r_{−θ}k)) is host-precomputed once
+    (static scales/angles, exactly as :func:`..ops.cwt2d.cwt2`) and fed in
+    SHARDED over its plane axis — each device FFTs its (replicated or
+    batch-sharded) image locally and inverse-transforms only its local
+    planes.  Zero collectives in the body; output planes land sharded.
+    """
+    import numpy as np
+
+    from ..ops.cwt2d import CWT2Result, _multipliers2d
+    from ..wavelets.continuous2d import MexicanHat2D
+
+    if wavelet is None:
+        wavelet = MexicanHat2D()
+    if mesh is None:
+        raise ValueError("cwt2_sharded needs an explicit Mesh")
+    x = jnp.asarray(x)
+    if x.ndim < 2:
+        raise ValueError("cwt2_sharded needs at least a (H, W) image")
+    h, w = x.shape[-2], x.shape[-1]
+    scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
+    angles_np = (None if angles is None
+                 else np.atleast_1d(np.asarray(angles, dtype=np.float64)))
+    scales_t = tuple(float(a) for a in scales_np)
+    angles_t = (None if angles_np is None
+                else tuple(float(t) for t in angles_np))
+    n_planes = len(scales_t) * (1 if angles_t is None else len(angles_t))
+    n_dev = mesh.shape[scale_axis]
+    if n_planes % n_dev:
+        raise ValueError(f"(scales × angles) = {n_planes} planes not "
+                         f"divisible by mesh axis {scale_axis}={n_dev}")
+    use_real = wavelet.real_even_hat and not jnp.issubdtype(
+        x.dtype, jnp.complexfloating)
+    m_np = _multipliers2d(wavelet, scales_t, angles_t, h, w,
+                          float(sampling_rate), use_real)
+    f64 = x.dtype in (jnp.float64, jnp.complex128)
+    cdtype = jnp.complex128 if f64 else jnp.complex64
+    rdtype = jnp.float64 if f64 else jnp.float32
+    mult = jnp.asarray(m_np).astype(cdtype)
+
+    bspec = [None] * x.ndim
+    if batch_axis in mesh.axis_names and x.ndim > 2:
+        bspec[0] = batch_axis
+    lead = bspec[:-2]  # (H, W) replicated on the last two dims
+
+    if use_real:
+        def body(xl, ml):
+            xf = jnp.fft.rfft2(xl, axes=(-2, -1))[..., None, :, :]
+            return jnp.fft.irfft2(xf * ml, s=(h, w),
+                                  axes=(-2, -1)).astype(rdtype)
+    else:
+        def body(xl, ml):
+            xf = jnp.fft.fft2(xl.astype(cdtype),
+                              axes=(-2, -1))[..., None, :, :]
+            return jnp.fft.ifft2(xf * ml, axes=(-2, -1))
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(*bspec), P(scale_axis, None, None)),
+                   out_specs=P(*lead, scale_axis, None, None))
+    coeff = fn(x, mult)
+    leadshape = x.shape[:-2]
+    if angles_t is None:
+        coeff = coeff.reshape(leadshape + (len(scales_t), h, w))
+        angles_arr = None
+    else:
+        coeff = coeff.reshape(leadshape + (len(scales_t), len(angles_t),
+                                           h, w))
+        angles_arr = jnp.asarray(angles_np).astype(rdtype)
+    return CWT2Result(coeff, jnp.asarray(scales_np).astype(rdtype),
+                      angles_arr, sampling_rate, wavelet.name)
 
 
 def _wpt_subtree_body(xl, wavelet, level, k, n_dev, axis_name):

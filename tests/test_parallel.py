@@ -8,7 +8,8 @@ import jax.numpy as jnp
 import jwave_pro_tpu as jw
 from jwave_pro_tpu.parallel import make_mesh
 from jwave_pro_tpu.parallel.sharded import (
-    cwt_sharded, fwt2_sharded, imodwt_sharded, modwt_sharded, wpt_sharded,
+    cwt2_sharded, cwt_sharded, fwt2_sharded, imodwt_sharded, modwt_sharded,
+    wpt_sharded,
 )
 
 DB4 = jw.wavelet("Daubechies 4")
@@ -62,6 +63,41 @@ def test_cwt_scale_sharded_matches(rng):
     got = np.asarray(cwt_sharded(x, scales, jw.MorletWavelet(), mesh
                                  ).coefficients)
     want = np.asarray(jw.cwt(x, scales, jw.MorletWavelet()).coefficients)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@needs8
+def test_cwt2_plane_sharded_matches(rng):
+    # 4 scales x 2 angles = 8 planes over 8 devices (directional Morlet,
+    # complex path) and 8 scales for the real Mexican-Hat half-plane path.
+    mesh = make_mesh({"scale": 8})
+    img = rng.standard_normal((24, 32))
+    angles = np.linspace(0, np.pi, 2, endpoint=False)
+    scales4 = np.linspace(2.0, 8.0, 4)
+    w = jw.Morlet2D()
+    got = np.asarray(cwt2_sharded(img, scales4, w, mesh,
+                                  angles=angles).coefficients)
+    want = np.asarray(jw.cwt2(img, scales4, w, angles=angles).coefficients)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+    scales8 = np.linspace(1.5, 9.0, 8)
+    got_r = cwt2_sharded(img, scales8, jw.MexicanHat2D(), mesh).coefficients
+    assert not jnp.issubdtype(got_r.dtype, jnp.complexfloating)
+    want_r = jw.cwt2(img, scales8, jw.MexicanHat2D()).coefficients
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=1e-10)
+    with pytest.raises(ValueError):
+        cwt2_sharded(img, scales4, jw.MexicanHat2D(), mesh)  # 4 % 8 != 0
+
+
+@needs8
+def test_cwt2_sharded_batched(rng):
+    mesh = make_mesh({"data": 2, "scale": 4})
+    imgs = rng.standard_normal((4, 16, 16))
+    scales = np.linspace(2.0, 6.0, 8)
+    got = np.asarray(cwt2_sharded(imgs, scales, jw.MexicanHat2D(), mesh,
+                                  ).coefficients)
+    want = np.asarray(jw.cwt2(imgs, scales, jw.MexicanHat2D()).coefficients)
     np.testing.assert_allclose(got, want, atol=1e-10)
 
 
