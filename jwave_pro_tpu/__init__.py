@@ -33,6 +33,7 @@ from .ops.cwt import (  # noqa: F401
     icwt,
 )
 from .ops.cwt2d import CWT2Result, cwt2  # noqa: F401
+from .ops.ssq import SSQResult, issq_cwt, ssq_cwt  # noqa: F401
 from .ops.fft import fft, ifft  # noqa: F401
 from .ops.analysis import (  # noqa: F401
     WTCResult, modwt_correlation, modwt_covariance, modwt_cross_correlation,
