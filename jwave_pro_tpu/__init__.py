@@ -37,7 +37,7 @@ from .ops.ssq import SSQResult, issq_cwt, ssq_cwt  # noqa: F401
 from .ops.fft import fft, ifft  # noqa: F401
 from .ops.analysis import (  # noqa: F401
     WTCResult, modwt_correlation, modwt_covariance, modwt_cross_correlation,
-    modwt_variance, scale_energies, wavelet_coherence,
+    modwt_hurst, modwt_variance, scale_energies, wavelet_coherence,
 )
 from .ops.lifting import cdf53, cdf97, icdf53, icdf97  # noqa: F401
 from .ops.pywt_compat import (  # noqa: F401

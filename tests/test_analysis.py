@@ -178,3 +178,63 @@ class TestWaveletCoherence:
         want = np.asarray(wavelet_coherence(x, y, np.asarray(scales))
                           .coherence)
         np.testing.assert_allclose(r2, want, rtol=2e-5, atol=2e-5)
+
+
+def _spectral_long_memory(rng, n, alpha, batch=()):
+    """Gaussian series with S(f) ∝ |f|^{−alpha} via spectral synthesis."""
+    f = np.fft.rfftfreq(n)
+    amp = np.zeros_like(f)
+    amp[1:] = f[1:] ** (-alpha / 2.0)
+    z = rng.standard_normal(batch + (f.size,)) \
+        + 1j * rng.standard_normal(batch + (f.size,))
+    x = np.fft.irfft(z * amp, n=n)
+    return x / x.std(axis=-1, keepdims=True)
+
+
+class TestHurst:
+    def test_white_noise_is_half(self, rng):
+        x = rng.standard_normal((8, 1 << 14))
+        h = np.asarray(jw.modwt_hurst(x, jw.wavelet("db4"), 8))
+        assert np.abs(h.mean() - 0.5) < 0.05
+
+    def test_random_walk_fbm_half(self, rng):
+        x = np.cumsum(rng.standard_normal((8, 1 << 14)), axis=-1)
+        h = np.asarray(jw.modwt_hurst(x, jw.wavelet("db4"), 8, kind="fbm"))
+        assert np.abs(h.mean() - 0.5) < 0.07
+
+    @pytest.mark.parametrize("h_true", [0.65, 0.8])
+    def test_recovers_synthetic_long_memory(self, rng, h_true):
+        # fGn-like: alpha = 2H − 1
+        x = _spectral_long_memory(rng, 1 << 14, 2 * h_true - 1, batch=(8,))
+        h = np.asarray(jw.modwt_hurst(x, jw.wavelet("db4"), 8))
+        assert np.abs(h.mean() - h_true) < 0.06
+
+    def test_antipersistent(self, rng):
+        x = _spectral_long_memory(rng, 1 << 14, 2 * 0.3 - 1, batch=(8,))
+        h = np.asarray(jw.modwt_hurst(x, jw.wavelet("db4"), 8))
+        assert np.abs(h.mean() - 0.3) < 0.08
+
+    def test_jittable_and_fit_outputs(self, rng):
+        x = rng.standard_normal((2, 4096)).astype(np.float32)
+        w = jw.wavelet("sym8")
+        f = jax.jit(lambda v: jw.modwt_hurst(v, w, 6, return_fit=True))
+        h, slope, intercept = f(x)
+        assert h.shape == (2,) and slope.shape == (2,)
+        np.testing.assert_allclose(np.asarray(h),
+                                   (np.asarray(slope) + 2.0) / 2.0,
+                                   atol=1e-6)
+        # intercept reproduces the weighted fit at tbar
+        h2 = np.asarray(jw.modwt_hurst(x, w, 6))
+        np.testing.assert_allclose(np.asarray(h), h2, atol=1e-5)
+
+    def test_validation(self, rng):
+        x = rng.standard_normal(1024)
+        w = jw.wavelet("db4")
+        with pytest.raises(ValueError):
+            jw.modwt_hurst(x, w, 5, min_level=5, max_level=5)
+        with pytest.raises(ValueError):
+            jw.modwt_hurst(x, w, 5, min_level=0)
+        with pytest.raises(ValueError):
+            jw.modwt_hurst(x, w, 5, max_level=9)
+        with pytest.raises(ValueError):
+            jw.modwt_hurst(x, w, 5, kind="nope")
