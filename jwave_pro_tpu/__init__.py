@@ -34,6 +34,9 @@ from .ops.cwt import (  # noqa: F401
 )
 from .ops.cwt2d import CWT2Result, cwt2  # noqa: F401
 from .ops.ssq import SSQResult, issq_cwt, ssq_cwt  # noqa: F401
+from .ops.scattering import (  # noqa: F401
+    ScatteringResult, scattering1d, scattering_filters,
+)
 from .ops.fft import fft, ifft  # noqa: F401
 from .ops.analysis import (  # noqa: F401
     WTCResult, modwt_correlation, modwt_covariance, modwt_cross_correlation,
@@ -51,8 +54,9 @@ from .ops.compress import (  # noqa: F401
     compression_rate,
 )
 from .ops.denoise import (  # noqa: F401
-    hard_threshold, mad_sigma, modwt_denoise, modwt_denoise_inplace,
-    soft_threshold, universal_threshold,
+    bayes_threshold, hard_threshold, mad_sigma, modwt_denoise,
+    modwt_denoise_inplace, soft_threshold, sure_threshold,
+    universal_threshold,
 )
 from .wavelets.continuous import (  # noqa: F401
     ContinuousWavelet, DOGWavelet, MexicanHatWavelet, MeyerWavelet,

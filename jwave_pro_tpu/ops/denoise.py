@@ -19,6 +19,7 @@ from .modwt import imodwt, modwt
 
 __all__ = [
     "soft_threshold", "hard_threshold", "universal_threshold",
+    "sure_threshold", "bayes_threshold",
     "mad_sigma", "modwt_denoise", "modwt_denoise_inplace",
 ]
 
@@ -47,13 +48,68 @@ def universal_threshold(d: jax.Array, n: int | None = None, axis=-1) -> jax.Arra
     return mad_sigma(d, axis=axis) * math.sqrt(2.0 * math.log(n))
 
 
+def sure_threshold(d: jax.Array, sigma=None, axis=-1) -> jax.Array:
+    """SURE-optimal soft threshold (SureShrink, Donoho–Johnstone 1995).
+
+    Minimizes Stein's unbiased risk estimate
+    ``SURE(t) = N − 2·#{|d|≤t} + Σ min(|d|, t)²`` over candidate thresholds
+    (taken, as in the classical algorithm, at the sorted ``|d|/σ`` values),
+    with the sparse-case safeguard: when the coefficients' energy is below
+    the ``log₂(N)^{3/2}/√N`` sparsity bound, SURE is unreliable and the
+    universal threshold is used instead (the "hybrid" scheme).
+
+    All candidate evaluation is a fixed-shape cumulative sum over the sorted
+    magnitudes, so the estimator jits and batches (reduction over ``axis``).
+    Returns the threshold on the original (unnormalized) coefficient scale.
+    """
+    d = jnp.asarray(d)
+    if sigma is None:
+        sigma = mad_sigma(d, axis=axis)
+    n = d.shape[axis]
+    y = jnp.moveaxis(d, axis, -1) / jnp.expand_dims(jnp.asarray(sigma), -1)
+    a = jnp.sort(jnp.abs(y), axis=-1)          # candidates t = a[k]
+    a2 = a * a
+    csum = jnp.cumsum(a2, axis=-1)
+    k = jnp.arange(1, n + 1, dtype=a.dtype)
+    # risk at t=a[k-1]: N − 2k + (cum energy below t) + (n−k)·t²
+    risk = (n - 2.0 * k) + csum + (n - k) * a2
+    t_sure = jnp.take_along_axis(a, jnp.argmin(risk, axis=-1)[..., None],
+                                 axis=-1)[..., 0]
+    # hybrid safeguard: sparse signals → universal threshold
+    t_univ = math.sqrt(2.0 * math.log(n))
+    energy = (csum[..., -1] - n) / n
+    bound = (math.log2(n) ** 1.5) / math.sqrt(n)
+    t = jnp.where(energy <= bound, t_univ, jnp.minimum(t_sure, t_univ))
+    return t * jnp.asarray(sigma)
+
+
+def bayes_threshold(d: jax.Array, sigma, axis=-1) -> jax.Array:
+    """BayesShrink threshold σ²/σ̂ₓ (Chang–Yu–Vetterli 2000).
+
+    ``σ`` is the noise scale (estimate it once from the finest detail level
+    via :func:`mad_sigma`); the signal scale is
+    ``σ̂ₓ = √max(mean(d²) − σ², 0)`` per band.  When the band is all noise
+    (σ̂ₓ = 0) the threshold degenerates to max|d| (kill the band).
+    """
+    d = jnp.asarray(d)
+    sigma = jnp.asarray(sigma)
+    var_y = jnp.mean(d * d, axis=axis)
+    sig_x = jnp.sqrt(jnp.maximum(var_y - sigma**2, 0.0))
+    dmax = jnp.max(jnp.abs(d), axis=axis)
+    return jnp.where(sig_x > 0.0, sigma**2 / jnp.where(sig_x > 0, sig_x, 1.0),
+                     dmax)
+
+
 def modwt_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
                   mode: str = "soft", method: str = "auto",
                   threshold=None) -> jax.Array:
     """Denoise via MODWT: shrink detail rows, keep approximation, invert.
 
     Matches the pipeline of ``MODWTExample.java:125-172``.  ``threshold``
-    defaults to the universal threshold estimated from the level-1 details.
+    defaults to the universal threshold estimated from the level-1 details;
+    the strings ``'universal'``, ``'sure'`` and ``'bayes'`` select the
+    corresponding estimator applied PER DETAIL LEVEL (σ always from the
+    level-1 MAD); an array is used as-is (broadcast against the detail rows).
 
     ``method='fused'`` runs the whole forward→shrink→inverse chain as ONE
     Pallas kernel (kernels/denoise_pallas.py): the coefficients never touch
@@ -70,17 +126,33 @@ def modwt_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
             xf = xf[None, :]
         if xf.ndim != 2:
             raise ValueError("method='fused' supports (N,) or (B, N) input")
-        if threshold is None:
+        if threshold is None or isinstance(threshold, str):
             w1 = modwt(xf, wavelet, 1, "direct")[0]
-            threshold = universal_threshold(w1, xf.shape[-1])
+            kind = threshold or "universal"
+            if kind == "universal":
+                threshold = universal_threshold(w1, xf.shape[-1])
+            elif kind == "sure":
+                threshold = sure_threshold(w1)
+            elif kind == "bayes":
+                threshold = bayes_threshold(w1, mad_sigma(w1))
+            else:
+                raise ValueError(f"unknown threshold rule {threshold!r}")
         thr = jnp.broadcast_to(jnp.asarray(threshold, jnp.float32),
                                (xf.shape[0],))
         out = modwt_denoise_fused(xf, thr, wavelet, level, mode)
         return out[0] if squeeze else out
     c = modwt(x, wavelet, level, method)
     n = x.shape[-1]
-    if threshold is None:
-        threshold = universal_threshold(c[0], n)[..., None]
+    if threshold is None or isinstance(threshold, str):
+        kind = threshold or "universal"
+        if kind == "universal":
+            threshold = universal_threshold(c[0], n)[..., None]
+        elif kind == "sure":
+            threshold = sure_threshold(c[:level], mad_sigma(c[0]))[..., None]
+        elif kind == "bayes":
+            threshold = bayes_threshold(c[:level], mad_sigma(c[0]))[..., None]
+        else:
+            raise ValueError(f"unknown threshold rule {threshold!r}")
     shrink = soft_threshold if mode == "soft" else hard_threshold
     details = shrink(c[:level], threshold)
     c = jnp.concatenate([details, c[level:]], axis=0)

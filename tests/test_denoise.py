@@ -1,0 +1,109 @@
+"""Wavelet-shrinkage threshold estimators (universal / SURE / BayesShrink).
+
+The universal-threshold pipeline mirrors the reference's
+``MODWTExample.java:125-172``; SURE and BayesShrink extend the denoising
+toolbox beyond the reference (SureShrink: Donoho–Johnstone 1995;
+BayesShrink: Chang–Yu–Vetterli 2000) and are validated against brute-force
+numpy re-statements of their defining risk/formula.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import jwave_pro_tpu as jw
+
+DB4 = jw.wavelet("Daubechies 4")
+
+
+def _sure_bruteforce(y):
+    """argmin_t SURE(t) over candidates t = sorted |y| (σ=1 coefficients)."""
+    n = y.size
+    a = np.sort(np.abs(y))
+    best_t, best_r = None, np.inf
+    for t in a:
+        r = n - 2 * np.sum(np.abs(y) <= t) + np.sum(np.minimum(np.abs(y), t) ** 2)
+        if r < best_r:
+            best_r, best_t = r, t
+    return best_t
+
+
+def test_sure_matches_bruteforce_dense():
+    rng = np.random.default_rng(0)
+    # dense signal: energy above the sparsity bound → pure SURE branch
+    y = rng.normal(size=512) + rng.normal(scale=3.0, size=512)
+    t_ref = min(_sure_bruteforce(y), np.sqrt(2 * np.log(y.size)))
+    t = jw.sure_threshold(jnp.asarray(y), sigma=1.0)
+    assert abs(float(t) - t_ref) < 1e-6
+
+
+def test_sure_sparse_falls_back_to_universal():
+    rng = np.random.default_rng(1)
+    y = rng.normal(size=1024)  # pure noise → sparse case → universal
+    t = jw.sure_threshold(jnp.asarray(y), sigma=1.0)
+    assert abs(float(t) - np.sqrt(2 * np.log(y.size))) < 1e-6
+
+
+def test_sure_scales_with_sigma():
+    rng = np.random.default_rng(2)
+    y = rng.normal(size=512) + rng.normal(scale=3.0, size=512)
+    t1 = float(jw.sure_threshold(jnp.asarray(y), sigma=1.0))
+    t2 = float(jw.sure_threshold(jnp.asarray(2.0 * y), sigma=2.0))
+    assert abs(t2 - 2.0 * t1) < 1e-5
+
+
+def test_sure_batched_and_jittable():
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=(3, 256)) * np.array([[1.0], [2.0], [5.0]])
+    t = jax.jit(jw.sure_threshold)(jnp.asarray(y))
+    assert t.shape == (3,)
+    for i in range(3):
+        ti = jw.sure_threshold(jnp.asarray(y[i]))
+        assert abs(float(t[i]) - float(ti)) < 1e-6
+
+
+def test_bayes_threshold_formula():
+    rng = np.random.default_rng(4)
+    sigma = 1.3
+    d = rng.normal(scale=sigma, size=4096) + rng.normal(scale=2.0, size=4096)
+    t = float(jw.bayes_threshold(jnp.asarray(d), sigma))
+    var_y = np.mean(d**2)
+    sig_x = np.sqrt(max(var_y - sigma**2, 0.0))
+    assert abs(t - sigma**2 / sig_x) < 1e-5
+
+
+def test_bayes_threshold_kills_pure_noise_band():
+    rng = np.random.default_rng(5)
+    sigma = 1.0
+    d = rng.normal(scale=0.5, size=2048)  # observed var < σ² → band = noise
+    t = float(jw.bayes_threshold(jnp.asarray(d), sigma))
+    assert t >= np.max(np.abs(d))  # soft-threshold kills everything
+
+
+@pytest.mark.parametrize("rule", ["universal", "sure", "bayes"])
+def test_modwt_denoise_rules_reduce_mse(rule):
+    rng = np.random.default_rng(6)
+    n = 2048
+    t_ax = np.linspace(0, 1, n)
+    clean = np.sign(np.sin(2 * np.pi * 4 * t_ax))  # blocks-like signal
+    noisy = clean + 0.35 * rng.normal(size=n)
+    out = np.asarray(jw.modwt_denoise(jnp.asarray(noisy), DB4, 4,
+                                      threshold=rule))
+    mse_in = np.mean((noisy - clean) ** 2)
+    mse_out = np.mean((out - clean) ** 2)
+    assert mse_out < 0.5 * mse_in, (rule, mse_in, mse_out)
+
+
+def test_modwt_denoise_unknown_rule_raises():
+    x = jnp.ones(256)
+    with pytest.raises(ValueError):
+        jw.modwt_denoise(x, DB4, 3, threshold="nope")
+
+
+def test_modwt_denoise_per_level_thresholds_differ_from_scalar():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(np.cumsum(rng.normal(size=1024)))
+    out_u = np.asarray(jw.modwt_denoise(x, DB4, 4, threshold="universal"))
+    out_b = np.asarray(jw.modwt_denoise(x, DB4, 4, threshold="bayes"))
+    assert not np.allclose(out_u, out_b)

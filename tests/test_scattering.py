@@ -1,0 +1,142 @@
+"""Wavelet scattering transform (ops/scattering.py).
+
+Validates the defining properties of the representation (Mallat 2012):
+Littlewood–Paley frame bound, nonexpansiveness, translation invariance at
+the averaging scale, energy contraction, second-order sensitivity to
+amplitude modulation — plus jit/batch/grad mechanics.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import jwave_pro_tpu as jw
+
+
+def _sig(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=n))
+
+
+def test_filterbank_littlewood_paley_bound():
+    n, j, q = 1024, 5, 8
+    psi1, xi1, psi2, xi2, phi = jw.scattering_filters(n, j, q)
+    assert psi1.shape == (j * q, n) and psi2.shape == (j, n)
+    for bank in (psi1, psi2):
+        lp = phi**2 + (bank**2).sum(axis=0)
+        assert lp.max() <= 1.0 + 1e-3
+    # the bank actually covers the band: LP stays near 1 between the
+    # lowest and highest first-order center frequencies
+    omega = np.arange(n) / n
+    band = (omega >= xi1.min()) & (omega <= xi1.max())
+    lp1 = phi**2 + (psi1**2).sum(axis=0)
+    assert lp1[band].min() > 0.35
+    assert np.all(np.diff(xi1) < 0) and np.all(np.diff(xi2) < 0)
+
+
+def test_shapes_and_metadata():
+    x = _sig((3, 512))
+    r = jw.scattering1d(x, j=4, q=2)
+    t = 16
+    assert r.s0.shape == (3, 512 // t)
+    assert r.s1.shape == (3, 8, 512 // t)
+    assert r.s2.shape[0] == 3 and r.s2.shape[-1] == 512 // t
+    assert r.pairs.shape == (r.s2.shape[1], 2)
+    # every pair is frequency-decreasing
+    xi1 = r.xi1[r.pairs[:, 0].astype(int)]
+    assert np.all(r.pairs[:, 1] < xi1)
+    stacked = r.stack()
+    assert stacked.shape == (3, 1 + 8 + r.s2.shape[1], 512 // t)
+
+
+def test_subsample_override_and_validation():
+    x = _sig(256)
+    r = jw.scattering1d(x, j=3, q=1, subsample=1)
+    assert r.s0.shape == (256,)
+    with pytest.raises(ValueError):
+        jw.scattering1d(x, j=3, q=1, subsample=100)  # does not divide N
+    with pytest.raises(ValueError):
+        jw.scattering1d(x, j=3, q=1, order=3)
+    with pytest.raises(ValueError):
+        jw.scattering1d(x, j=0, q=1)
+
+
+def test_energy_contraction():
+    x = _sig(2048, seed=1)
+    r = jw.scattering1d(x, j=5, q=4, subsample=1)
+    e = float(jnp.sum(r.stack() ** 2))
+    assert e <= 1.01 * float(jnp.sum(x**2))
+
+
+def test_nonexpansive():
+    x, y = _sig(1024, seed=2), _sig(1024, seed=3)
+    rx = jw.scattering1d(x, j=4, q=4, subsample=1).stack()
+    ry = jw.scattering1d(y, j=4, q=4, subsample=1).stack()
+    d_s = float(jnp.linalg.norm(rx - ry))
+    d_x = float(jnp.linalg.norm(x - y))
+    assert d_s <= 1.01 * d_x
+
+
+def test_translation_invariance_at_averaging_scale():
+    n, j = 4096, 7  # T = 128
+    t_ax = np.arange(n)
+    x = jnp.asarray(np.sin(2 * np.pi * 0.05 * t_ax)
+                    * np.exp(-((t_ax - n / 2) ** 2) / (2 * 400.0**2)))
+    a = jw.scattering1d(x, j=j, q=4).stack()
+    b = jw.scattering1d(jnp.roll(x, 3), j=j, q=4).stack()
+    rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+    assert rel < 0.05, rel
+    # shifting by exactly T rolls the (circular) output by one sample
+    c = jw.scattering1d(jnp.roll(x, 1 << j), j=j, q=4).stack()
+    np.testing.assert_allclose(np.asarray(c),
+                               np.asarray(jnp.roll(a, 1, axis=-1)),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_first_order_discriminates_frequencies():
+    n = 2048
+    t_ax = np.arange(n)
+    for f1, f2 in [(0.05, 0.2), (0.02, 0.3)]:
+        s1a = jw.scattering1d(jnp.asarray(np.sin(2 * np.pi * f1 * t_ax)),
+                              j=5, q=8).s1
+        s1b = jw.scattering1d(jnp.asarray(np.sin(2 * np.pi * f2 * t_ax)),
+                              j=5, q=8).s1
+        ka = int(jnp.argmax(s1a.mean(axis=-1)))
+        kb = int(jnp.argmax(s1b.mean(axis=-1)))
+        r = jw.scattering1d(jnp.zeros(n), j=5, q=8)
+        assert ka != kb
+        # the winning filter's center frequency is the tone's frequency
+        assert abs(r.xi1[ka] - f1) / f1 < 2 ** (1 / 8.0) - 1 + 0.05
+        assert abs(r.xi1[kb] - f2) / f2 < 2 ** (1 / 8.0) - 1 + 0.05
+
+
+def test_second_order_detects_amplitude_modulation():
+    n = 4096
+    t_ax = np.arange(n)
+    carrier = np.sin(2 * np.pi * 0.25 * t_ax)
+    am = (1.0 + 0.8 * np.sin(2 * np.pi * 0.01 * t_ax)) * carrier
+    r_pure = jw.scattering1d(jnp.asarray(carrier), j=6, q=8)
+    r_am = jw.scattering1d(jnp.asarray(am), j=6, q=8)
+
+    def s2_rel(r):
+        return float(jnp.sum(r.s2**2) / jnp.sum(r.s1**2))
+
+    assert s2_rel(r_am) > 3.0 * s2_rel(r_pure)
+
+
+def test_jit_batch_grad():
+    x = _sig((2, 512), seed=4)
+    f = jax.jit(lambda v: jw.scattering1d(v, j=4, q=2).stack())
+    batched = f(x)
+    single = jw.scattering1d(x[0], j=4, q=2).stack()
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single),
+                               rtol=1e-6, atol=1e-10)
+    g = jax.grad(lambda v: jnp.sum(jw.scattering1d(v, j=4, q=2).stack()))(x[0])
+    assert g.shape == x[0].shape and bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_order1_skips_second_order():
+    x = _sig(512, seed=5)
+    r = jw.scattering1d(x, j=4, q=2, order=1)
+    assert r.s2 is None
