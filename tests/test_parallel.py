@@ -8,8 +8,8 @@ import jax.numpy as jnp
 import jwave_pro_tpu as jw
 from jwave_pro_tpu.parallel import make_mesh
 from jwave_pro_tpu.parallel.sharded import (
-    cwt2_sharded, cwt_sharded, fwt2_sharded, imodwt_sharded, modwt_sharded,
-    wpt_sharded,
+    cwt2_sharded, cwt_sharded, cwt_signal_sharded, fwt2_sharded,
+    imodwt_sharded, modwt_sharded, wpt_sharded,
 )
 
 DB4 = jw.wavelet("Daubechies 4")
@@ -64,6 +64,61 @@ def test_cwt_scale_sharded_matches(rng):
                                  ).coefficients)
     want = np.asarray(jw.cwt(x, scales, jw.MorletWavelet()).coefficients)
     np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@needs8
+def test_cwt_signal_sharded_matches_single(rng):
+    # overlap-save long-signal CWT: time axis sharded, ring halo context
+    mesh = make_mesh({"signal": 8})
+    x = rng.standard_normal(4096)
+    scales = jw.generate_log_scales(5.0, 16.0, 8)
+    got = np.asarray(cwt_signal_sharded(x, scales, jw.MorletWavelet(), mesh
+                                        ).coefficients)
+    want = np.asarray(jw.cwt(x, scales, jw.MorletWavelet(),
+                             padding="periodic").coefficients)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+@needs8
+def test_cwt_signal_sharded_multihop_halo(rng):
+    # max scale 96 → default halo 96·4·2 = 768 > shard 512: needs two
+    # ppermute hops per side for the ring context
+    mesh = make_mesh({"signal": 8})
+    x = rng.standard_normal(4096)
+    scales = jw.generate_log_scales(8.0, 96.0, 4)
+    got = np.asarray(cwt_signal_sharded(x, scales, jw.MorletWavelet(), mesh
+                                        ).coefficients)
+    want = np.asarray(jw.cwt(x, scales, jw.MorletWavelet(),
+                             padding="periodic").coefficients)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+@needs8
+def test_cwt_signal_sharded_batch_and_signal(rng):
+    mesh = make_mesh({"data": 2, "signal": 4})
+    x = rng.standard_normal((2, 2048))
+    scales = jw.generate_log_scales(2.0, 8.0, 6)
+    got = np.asarray(cwt_signal_sharded(x, scales, jw.MexicanHatWavelet(),
+                                        mesh).coefficients)
+    want = np.asarray(jw.cwt(x, scales, jw.MexicanHatWavelet(),
+                             padding="periodic").coefficients)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    with pytest.raises(ValueError):
+        cwt_signal_sharded(rng.standard_normal(2049), scales,
+                           jw.MexicanHatWavelet(), mesh)
+
+
+@needs8
+def test_cwt_signal_sharded_aliasing_gate(rng):
+    # Nyquist-aliased small scales are rejected (their spectral-truncation
+    # sinc tails cannot be covered by any halo) unless explicitly accepted.
+    mesh = make_mesh({"signal": 8})
+    x = rng.standard_normal(1024)
+    with pytest.raises(ValueError, match="Nyquist-aliased"):
+        cwt_signal_sharded(x, [1.0, 8.0], jw.MorletWavelet(), mesh)
+    res = cwt_signal_sharded(x, [1.0, 8.0], jw.MorletWavelet(), mesh,
+                             check_aliasing=False)
+    assert res.coefficients.shape == (2, 1024)
 
 
 @needs8
