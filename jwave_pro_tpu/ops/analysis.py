@@ -55,10 +55,14 @@ def _try_var_fused(x, wavelet, level, method):
     if method not in ("auto", "fused"):
         return None
     x = jnp.asarray(x)
-    if method == "auto":
-        if jax.default_backend() != "tpu" or x.ndim not in (1, 2) \
-                or x.dtype not in (jnp.float32, jnp.bfloat16):
-            return None
+    if x.ndim not in (1, 2) or x.dtype not in (jnp.float32, jnp.bfloat16):
+        if method == "fused":
+            raise ValueError(
+                f"fused variance needs a float32/bfloat16 (N,) or (B, N) "
+                f"input, got {x.dtype} with shape {x.shape}")
+        return None
+    if method == "auto" and jax.default_backend() != "tpu":
+        return None
     from ..kernels.variance_pallas import modwt_var_fused, var_fused_supported
 
     b, n = (1, x.shape[0]) if x.ndim == 1 else x.shape
@@ -81,10 +85,21 @@ def modwt_covariance(x: jax.Array, y: jax.Array, wavelet: DiscreteWavelet,
     the covariance is computed by polarization —
     ``cov = (var(x+y) − var(x−y))/4`` — exact by linearity of the MODWT,
     two single-pass kernels instead of 2·(L+2) coefficient passes.
+
+    Numerics note: polarization differences two nearly-equal variances, so
+    in the kernel's f32 accumulation the absolute error is ~√N·ε·ν²; when
+    the true per-scale correlation is far below f32 ε (|ρ| ≲ 1e-5) use
+    ``method='direct'`` — the direct mean(W^x·W^y) path has no
+    cancellation.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
-    if x.shape == y.shape:
+    if x.shape != y.shape:
+        if method == "fused":
+            raise ValueError(
+                f"fused covariance needs x.shape == y.shape, got "
+                f"{x.shape} vs {y.shape}")
+    else:
         out = _try_var_fused(x + y, wavelet, level, method)
         if out is not None:
             return (out - _try_var_fused(x - y, wavelet, level, method)) / 4.0
@@ -124,6 +139,10 @@ def modwt_cross_correlation(x: jax.Array, y: jax.Array,
     axis is a static unrolled stack of ``jnp.roll`` s, so the whole table
     is one jit-compiled program.
     """
+    if method == "fused":
+        raise ValueError(
+            "cross-correlation has no fused single-pass path (every lag "
+            "needs the coefficient rows); use method='auto'")
     cx = modwt(x, wavelet, level, method)[:level]
     cy = modwt(y, wavelet, level, method)[:level]
     vx = jnp.mean(cx ** 2, axis=-1)
@@ -302,7 +321,11 @@ def _coherence_impl(x, y, scales_t, wavelet, sampling_rate, padding,
     s_xy = _smooth(cross * inv_a.astype(cross.dtype), tmult, width)
     s_xx = _smooth((jnp.abs(wx) ** 2) * inv_a, tmult, width)
     s_yy = _smooth((jnp.abs(wy) ** 2) * inv_a, tmult, width)
-    r2 = (jnp.abs(s_xy) ** 2) / (s_xx * s_yy)
+    # tiny-floor the denominator: a dead (all-zero-W) channel would give
+    # 0/0 = NaN, which clip cannot remove — floor it so coherence is 0 there
+    denom = jnp.maximum((s_xx * s_yy).real,
+                        jnp.finfo(s_xx.real.dtype).tiny)
+    r2 = (jnp.abs(s_xy) ** 2) / denom
     r2 = jnp.clip(r2.real, 0.0, 1.0)
     phase = jnp.angle(s_xy) if jnp.iscomplexobj(s_xy) \
         else jnp.where(s_xy < 0, jnp.pi, 0.0).astype(r2.dtype)
@@ -311,6 +334,9 @@ def _coherence_impl(x, y, scales_t, wavelet, sampling_rate, padding,
 
 def scale_energies(coeffs: jax.Array) -> jax.Array:
     """Total energy per row of a ``(rows, ..., N)`` coefficient array
-    (the per-level energy table the reference's MODWT example prints)."""
+    (the per-level energy table the reference's MODWT example prints).
+    Complex (e.g. Morlet CWT) rows use |c|², returning a real table."""
     coeffs = jnp.asarray(coeffs)
+    if jnp.issubdtype(coeffs.dtype, jnp.complexfloating):
+        return jnp.sum(jnp.abs(coeffs) ** 2, axis=-1)
     return jnp.sum(coeffs ** 2, axis=-1)

@@ -237,6 +237,39 @@ def _cwt_fused_tpu(xp, n, scales_np, wavelet, sampling_rate):
     return c.reshape(lead + (n_scales, n))
 
 
+def _scale_chunk(batch_elems: int, padded_n: int, s_count: int) -> int:
+    """Scale-axis chunk size for the XLA-FFT fusion knee.
+
+    The chunked path adds a transpose pass, so it only triggers well past
+    the measured knee (>2²³ elements of (batch, S, P) complex
+    intermediate) and keeps each chunk ≤ 2²² elements.  Returns ``s_count``
+    (no chunking) or the largest divisor of ``s_count`` under the target.
+    """
+    if batch_elems * padded_n * s_count > (1 << 23):
+        target = max(1, (1 << 22) // max(batch_elems * padded_n, 1))
+        if target < s_count:
+            return max(c for c in range(1, min(target, s_count) + 1)
+                       if s_count % c == 0)
+    return s_count
+
+
+def _half_irfft_chunked(xh, mult, padded_n, n, cdtype, rdtype, chunk):
+    """irfft(xh · mult)[..., :n], the scale axis processed ``chunk`` rows at
+    a time via ``lax.map`` (shared by cwt and ssq_cwt — see _scale_chunk)."""
+    mult = jnp.asarray(mult).astype(cdtype)
+    s_count = mult.shape[0]
+    if chunk == s_count:
+        return jnp.fft.irfft(xh * mult, n=padded_n,
+                             axis=-1)[..., :n].astype(rdtype)
+    cs = mult.reshape(s_count // chunk, chunk, mult.shape[-1])
+    out = jax.lax.map(
+        lambda m: jnp.fft.irfft(xh * m, n=padded_n,
+                                axis=-1)[..., :n].astype(rdtype), cs)
+    # (nchunks, ..., chunk, n) → (..., nchunks·chunk, n)
+    out = jnp.moveaxis(out, 0, -3)
+    return out.reshape(*out.shape[:-3], s_count, n)
+
+
 def _cwt_traced_scales(xp, n, scales_arr, wavelet, sampling_rate, cdtype):
     """Fallback full-FFT path for traced (non-static) scale grids
     (the scale-sharded shard_map body passes scales as tracers)."""
@@ -316,30 +349,14 @@ def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
         # intermediate (v5e, measured: 4.9 G coeff/s at 1M elements → 1.6 G
         # at 16M — XLA's FFT is a fusion boundary and the full product
         # round-trips HBM), so large jobs process the scale axis in chunks
-        # via lax.map, keeping each chunk's intermediate ≤ ~2²⁰ elements.
+        # via lax.map, keeping each chunk's intermediate ≤ ~2²² elements.
         batch_elems = int(np.prod(xp.shape[:-1], dtype=np.int64))
         s_count = len(scales_np)
-        chunk = s_count
-        if batch_elems * padded_n * s_count > (1 << 23):
-            # the chunked path adds a transpose pass, so only trigger well
-            # past the knee (>8M elements) and keep chunks ≤4M elements
-            target = max(1, (1 << 22) // max(batch_elems * padded_n, 1))
-            if target < s_count:
-                chunk = max(c for c in range(1, min(target, s_count) + 1)
-                            if s_count % c == 0)
+        chunk = _scale_chunk(batch_elems, padded_n, s_count)
 
         def half(mult):
-            mult = jnp.asarray(mult).astype(cdtype)
-            if chunk == s_count:
-                return jnp.fft.irfft(xh * mult, n=padded_n,
-                                     axis=-1)[..., :n].astype(rdtype)
-            cs = mult.reshape(s_count // chunk, chunk, mult.shape[-1])
-            out = jax.lax.map(
-                lambda m: jnp.fft.irfft(xh * m, n=padded_n,
-                                        axis=-1)[..., :n].astype(rdtype), cs)
-            # (nchunks, ..., chunk, n) → (..., nchunks·chunk, n)
-            out = jnp.moveaxis(out, 0, -3)
-            return out.reshape(*out.shape[:-3], s_count, n)
+            return _half_irfft_chunked(xh, mult, padded_n, n, cdtype,
+                                       rdtype, chunk)
 
         if b_zero:
             coeff = half(a)          # mathematically real coefficients

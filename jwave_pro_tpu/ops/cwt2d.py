@@ -62,7 +62,8 @@ class CWT2Result(typing.NamedTuple):
         return jnp.sum(jnp.abs(self.coefficients) ** 2, axis=(-2, -1))
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)  # full (S·A, h, w) planes — entries are
+# ~h× costlier than the 1D tier's (S, F) rows, so the cache is kept small
 def _multipliers2d(wavelet: ContinuousWavelet2D, scales: tuple,
                    angles: tuple | None, h: int, w: int,
                    sampling_rate: float, half: bool):
@@ -139,7 +140,9 @@ def cwt2(x: jax.Array, scales, wavelet: ContinuousWavelet2D | None = None,
     n_planes = m_np.shape[0]
     if use_real:
         xf = jnp.fft.rfft2(x, axes=(-2, -1))[..., None, :, :]
-        mult = jnp.asarray(m_np).astype(cdtype)
+        # keep the real-even multiplier REAL: complex×real products are two
+        # real multiplies (vs four) and the stack's HBM bytes halve
+        mult = jnp.asarray(m_np).astype(rdtype)
 
         def run(m):
             return jnp.fft.irfft2(xf * m, s=(h, w),

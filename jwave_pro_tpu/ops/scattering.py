@@ -157,6 +157,9 @@ def scattering1d(x: jax.Array, j: int, q: int = 8, order: int = 2,
     subgradient at 0 is the JAX `abs` convention).
     """
     x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        # S0 = ifft(X·φ̂).real would silently drop the imaginary half
+        raise ValueError("scattering1d expects a real signal")
     n = x.shape[-1]
     t = (1 << j) if subsample is None else subsample
     if t < 1 or n % t:

@@ -45,7 +45,8 @@ from jax import lax
 from ..utils.validation import next_power_of_two
 from ..wavelets.continuous import ContinuousWavelet, MorletWavelet
 from .cwt import (
-    _half_spectrum_multipliers, _icwt_weights, _recon_filter, pad_signal,
+    _half_irfft_chunked, _half_spectrum_multipliers, _icwt_weights,
+    _recon_filter, _scale_chunk, pad_signal,
 )
 
 __all__ = ["ssq_cwt", "issq_cwt", "SSQResult"]
@@ -129,7 +130,13 @@ def ssq_cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
         raise ValueError("ssq_cwt expects a real signal")
     n = x.shape[-1]
     padded_n = next_power_of_two(n)
-    scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
+    try:
+        scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
+    except (jax.errors.TracerArrayConversionError, TypeError) as e:
+        raise ValueError(
+            "ssq_cwt needs a STATIC scale grid (multipliers and bin edges "
+            "are host-precomputed): pass scales as concrete floats, not a "
+            "traced array") from e
     if np.any(scales_np <= 0):
         raise ValueError("Scales must be positive")
     s_count = scales_np.shape[0]
@@ -158,9 +165,15 @@ def ssq_cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
     xp = pad_signal(x, padded_n, padding)
     xh = jnp.fft.rfft(xp, axis=-1)[..., None, :]  # (..., 1, F)
 
+    # chunk the scale axis past the XLA-FFT fusion knee, exactly like the
+    # plain CWT (ops/cwt.py:_scale_chunk) — ssq materializes FOUR (..., S, N)
+    # products (W and ∂_t W quadratures), so the knee bites sooner
+    batch_elems = int(np.prod(xp.shape[:-1], dtype=np.int64))
+    chunk = _scale_chunk(batch_elems, padded_n, s_count)
+
     def half(mult):
-        prod = xh * jnp.asarray(mult).astype(cdtype)
-        return jnp.fft.irfft(prod, n=padded_n, axis=-1)[..., :n]
+        return _half_irfft_chunked(xh, mult, padded_n, n, cdtype, rdtype,
+                                   chunk)
 
     w_re, w_im = half(a_m), half(b_m)          # W     (..., S, N)
     d_re, d_im = half(ad_m), half(bd_m)        # ∂_t W (..., S, N)

@@ -377,7 +377,8 @@ def cwt2_sharded(x, scales, wavelet=None, mesh: Mesh | None = None,
     f64 = x.dtype in (jnp.float64, jnp.complex128)
     cdtype = jnp.complex128 if f64 else jnp.complex64
     rdtype = jnp.float64 if f64 else jnp.float32
-    mult = jnp.asarray(m_np).astype(cdtype)
+    # real-even ψ̂ stacks stay REAL (half the bytes, 2 vs 4 real multiplies)
+    mult = jnp.asarray(m_np).astype(rdtype if use_real else cdtype)
 
     bspec = [None] * x.ndim
     if batch_axis in mesh.axis_names and x.ndim > 2:

@@ -238,3 +238,47 @@ class TestHurst:
             jw.modwt_hurst(x, w, 5, max_level=9)
         with pytest.raises(ValueError):
             jw.modwt_hurst(x, w, 5, kind="nope")
+
+
+class TestRobustness:
+    """Regression tests for the round-2 review findings."""
+
+    def test_coherence_dead_channel_no_nan(self, rng):
+        # an all-zero channel must give 0 coherence, not NaN (0/0)
+        x = rng.standard_normal(1024)
+        y = np.zeros(1024)
+        scales = generate_log_scales(2.0, 32.0, 8)
+        r = jw.wavelet_coherence(x, y, scales, MexicanHatWavelet())
+        c = np.asarray(r.coherence)
+        assert np.isfinite(c).all()
+        assert c.max() <= 1e-6
+
+    def test_fused_variance_guards(self, rng):
+        w = jw.wavelet("db4")
+        x3 = rng.standard_normal((2, 3, 512)).astype(np.float32)
+        with pytest.raises(ValueError, match="fused variance"):
+            jw.modwt_variance(x3, w, 3, method="fused")
+        x64 = rng.standard_normal((4, 512))  # float64
+        with pytest.raises(ValueError, match="float32"):
+            jw.modwt_variance(x64, w, 3, method="fused")
+
+    def test_fused_covariance_shape_mismatch(self, rng):
+        w = jw.wavelet("db4")
+        x = rng.standard_normal((4, 512)).astype(np.float32)
+        y = rng.standard_normal((4, 256)).astype(np.float32)
+        with pytest.raises(ValueError, match="x.shape == y.shape"):
+            jw.modwt_covariance(x, y, w, 3, method="fused")
+
+    def test_cross_correlation_rejects_fused(self, rng):
+        w = jw.wavelet("db4")
+        x = rng.standard_normal((4, 512)).astype(np.float32)
+        with pytest.raises(ValueError, match="no fused"):
+            jw.modwt_cross_correlation(x, x, w, 3, 4, method="fused")
+
+    def test_scale_energies_complex(self, rng):
+        x = rng.standard_normal(256)
+        c = jw.cwt(x, [2.0, 4.0], MorletWavelet()).coefficients
+        e = np.asarray(jw.scale_energies(c))
+        assert not np.iscomplexobj(e)
+        np.testing.assert_allclose(
+            e, np.sum(np.abs(np.asarray(c)) ** 2, axis=-1), rtol=1e-6)

@@ -140,3 +140,9 @@ def test_order1_skips_second_order():
     x = _sig(512, seed=5)
     r = jw.scattering1d(x, j=4, q=2, order=1)
     assert r.s2 is None
+
+
+def test_scattering_rejects_complex(rng):
+    x = (rng.standard_normal(512) + 1j * rng.standard_normal(512))
+    with pytest.raises(ValueError, match="real"):
+        jw.scattering1d(x, j=3)

@@ -140,3 +140,27 @@ def test_freq_range_and_validation():
         jw.ssq_cwt(x.astype(np.complex128), SCALES)
     with pytest.raises(ValueError):
         jw.issq_cwt(res, freq_range=(500.0, 600.0))
+
+
+def test_ssq_traced_scales_clear_error(rng):
+    x = rng.standard_normal(256).astype(np.float32)
+    with pytest.raises((ValueError, TypeError), match="STATIC|static"):
+        jax.jit(lambda v, s: jw.ssq_cwt(v, s).Tx)(x, jnp.asarray([4.0, 8.0]))
+
+
+def test_half_irfft_chunked_parity(rng):
+    # the lax.map-chunked scale axis must match the unchunked product
+    # (shared by cwt and ssq_cwt; knee shapes are too big for CPU tests,
+    # so force chunk < s_count directly)
+    from jwave_pro_tpu.ops.cwt import _half_irfft_chunked
+    n = 256
+    xh = jnp.asarray(rng.standard_normal((3, 1, n // 2 + 1))
+                     + 1j * rng.standard_normal((3, 1, n // 2 + 1)),
+                     jnp.complex64)
+    mult = rng.standard_normal((8, n // 2 + 1)).astype(np.float32)
+    full = _half_irfft_chunked(xh, mult, n, n, jnp.complex64, jnp.float32, 8)
+    chunked = _half_irfft_chunked(xh, mult, n, n, jnp.complex64,
+                                  jnp.float32, 2)
+    assert chunked.shape == (3, 8, n)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5)
