@@ -109,6 +109,24 @@ def test_cwt_signal_sharded_batch_and_signal(rng):
 
 
 @needs8
+def test_cwt_signal_sharded_halo_only_comms(rng):
+    """The overlap-save body's ONLY collectives are the ring halo
+    permutes — no all-gathers/all-reduces sneak in (the per-device FFT
+    must stay local for the O(N/D log N/D) cost claim to hold)."""
+    mesh = make_mesh({"signal": 8})
+    x = jnp.asarray(rng.standard_normal(4096))
+    scales = tuple(float(s) for s in jw.generate_log_scales(5.0, 16.0, 4))
+    fn = jax.jit(lambda v: cwt_signal_sharded(
+        x=v, scales=scales, wavelet=jw.MorletWavelet(),
+        mesh=mesh).coefficients)
+    hlo = fn.lower(x).compile().as_text()
+    others = [c for c in _COLLECTIVES
+              if c != "collective-permute" and c in hlo]
+    assert not others, f"unexpected collectives in sharded CWT HLO: {others}"
+    assert "collective-permute" in hlo  # the halo exchange itself
+
+
+@needs8
 def test_cwt_signal_sharded_aliasing_gate(rng):
     # Nyquist-aliased small scales are rejected (their spectral-truncation
     # sinc tails cannot be covered by any halo) unless explicitly accepted.
