@@ -37,6 +37,9 @@ from .ops.ssq import SSQResult, issq_cwt, ssq_cwt  # noqa: F401
 from .ops.scattering import (  # noqa: F401
     ScatteringResult, scattering1d, scattering_filters,
 )
+from .ops.scattering2d import (  # noqa: F401
+    Scattering2DResult, scattering2d, scattering2d_filters,
+)
 from .ops.fft import fft, ifft  # noqa: F401
 from .ops.analysis import (  # noqa: F401
     WTCResult, modwt_correlation, modwt_covariance, modwt_cross_correlation,

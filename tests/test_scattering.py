@@ -146,3 +146,74 @@ def test_scattering_rejects_complex(rng):
     x = (rng.standard_normal(512) + 1j * rng.standard_normal(512))
     with pytest.raises(ValueError, match="real"):
         jw.scattering1d(x, j=3)
+
+
+class TestScattering2D:
+    H = W = 64
+
+    def _img(self, rng):
+        return rng.standard_normal((self.H, self.W))
+
+    def test_shapes_and_paths(self, rng):
+        res = jw.scattering2d(self._img(rng), j=3, l=4)
+        assert res.s0.shape == (8, 8)
+        assert res.s1.shape == (12, 8, 8)          # J·L
+        assert res.s2.shape == (3 * 16, 8, 8)      # Σ_{j1<j2} L² = 3·L²
+        assert res.pairs.shape == (48, 3)
+        assert np.asarray(res.stack()).shape == (61, 8, 8)
+
+    def test_littlewood_paley_frame(self):
+        from jwave_pro_tpu.ops.scattering2d import scattering2d_filters
+        psi, phi, _ = scattering2d_filters(self.H, self.W, 3, 8)
+        neg = np.roll(psi[:, ::-1, ::-1], (1, 1), axis=(-2, -1))
+        lp = phi ** 2 + 0.5 * (psi ** 2 + neg ** 2).sum(axis=0)
+        assert lp.max() <= 1.0 + 1e-12
+        assert np.abs(psi[:, 0, 0]).max() < 1e-12  # exact zero mean
+
+    def test_t_shift_equivariance_exact(self, rng):
+        x = self._img(rng)
+        st = np.asarray(jw.scattering2d(x, j=3, l=4).stack())
+        xs = np.roll(x, (8, 16), axis=(0, 1))
+        st2 = np.asarray(jw.scattering2d(xs, j=3, l=4).stack())
+        np.testing.assert_allclose(
+            np.roll(st, (1, 2), axis=(-2, -1)), st2, atol=1e-10)
+
+    def test_translation_stability(self, rng):
+        # small shifts: global-mean descriptor ~exactly invariant, and the
+        # local S-distance is a small fraction of the raw image distance
+        x = self._img(rng)
+        xs = np.roll(x, (3, 5), axis=(0, 1))
+        st = np.asarray(jw.scattering2d(x, j=3, l=8).stack())
+        st2 = np.asarray(jw.scattering2d(xs, j=3, l=8).stack())
+        m1, m2 = st.mean(axis=(-2, -1)), st2.mean(axis=(-2, -1))
+        assert np.abs(m1 - m2).max() / np.abs(m1).max() < 1e-5
+        ratio = (np.linalg.norm(st - st2) * 8) / np.linalg.norm(x - xs)
+        assert ratio < 0.15
+
+    def test_nonexpansive(self, rng):
+        x = self._img(rng)
+        y = x + 0.1 * rng.standard_normal(x.shape)
+        sx = np.asarray(jw.scattering2d(x, j=3, l=8).stack())
+        sy = np.asarray(jw.scattering2d(y, j=3, l=8).stack())
+        # the ↓T grid scales the feature L2 norm by T per axis
+        assert np.linalg.norm(sx - sy) * 8 <= np.linalg.norm(x - y)
+
+    def test_jit_batch_f32(self, rng):
+        x = rng.standard_normal((2, 3, self.H, self.W)).astype(np.float32)
+        f = jax.jit(lambda v: jw.scattering2d(v, j=2, l=4).stack())
+        out = np.asarray(f(x))
+        assert out.shape[:2] == (2, 3) and out.dtype == np.float32
+        assert np.isfinite(out).all()
+        one = np.asarray(jw.scattering2d(x[1, 2], j=2, l=4).stack())
+        np.testing.assert_allclose(out[1, 2], one, atol=1e-5)
+
+    def test_order1_and_validation(self, rng):
+        x = self._img(rng)
+        res = jw.scattering2d(x, j=2, l=4, order=1)
+        assert res.s2 is None
+        with pytest.raises(ValueError, match="real"):
+            jw.scattering2d(x.astype(complex), j=2)
+        with pytest.raises(ValueError, match="divide"):
+            jw.scattering2d(rng.standard_normal((60, 64)), j=3)
+        with pytest.raises(ValueError):
+            jw.scattering2d(x, j=0)

@@ -27,6 +27,10 @@ SECTIONS = [
     ("jwave_pro_tpu.ops.modwt2d", "2D MODWT"),
     ("jwave_pro_tpu.ops.analysis", "Wavelet variance/covariance"),
     ("jwave_pro_tpu.ops.cwt", "Continuous Wavelet Transform (+ inverse)"),
+    ("jwave_pro_tpu.ops.cwt2d", "2D Continuous Wavelet Transform"),
+    ("jwave_pro_tpu.ops.ssq", "Synchrosqueezed CWT"),
+    ("jwave_pro_tpu.ops.scattering", "Wavelet scattering (1D)"),
+    ("jwave_pro_tpu.ops.scattering2d", "Wavelet scattering (2D)"),
     ("jwave_pro_tpu.ops.fft", "Fourier transforms"),
     ("jwave_pro_tpu.ops.lifting", "Lifting schemes (CDF 5/3, 9/7)"),
     ("jwave_pro_tpu.ops.arbitrary", "Arbitrary-length wrappers"),
