@@ -20,7 +20,7 @@ from .ops import (  # noqa: F401
     MAX_DECOMPOSITION_LEVEL, analysis_step, basis_coefficients, basis_reconstruct, best_basis,
     circular_convolve, circular_convolve_adjoint, decompose, fwt, fwt2, fwt3,
     ifwt, ifwt2, ifwt3, imodwt, iwpt, iwpt2, iwpt3, log_energy_cost, modwt,
-    imodwt2, modwt2, modwt2_mra,
+    imodwt2, imodwt3, modwt2, modwt2_mra, modwt3, modwt3_mra,
     modwt_base_filters, modwt_mra, recompose, shannon_entropy_cost,
     synthesis_step, threshold_cost, wpt, wpt2, wpt3, wpt_tree,
 )

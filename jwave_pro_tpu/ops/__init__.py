@@ -6,7 +6,8 @@ from .modwt import (
     MAX_DECOMPOSITION_LEVEL, circular_convolve, circular_convolve_adjoint,
     imodwt, modwt, modwt_base_filters, modwt_mra,
 )
-from .modwt2d import imodwt2, modwt2, modwt2_mra
+from .modwt2d import (imodwt2, imodwt3, modwt2, modwt2_mra, modwt3,
+                      modwt3_mra)
 from .wpt import (
     basis_coefficients, basis_reconstruct, best_basis, iwpt, iwpt2, iwpt3,
     log_energy_cost, shannon_entropy_cost, sure_cost, threshold_cost, wpt,
@@ -19,7 +20,7 @@ __all__ = [
     "MAX_DECOMPOSITION_LEVEL", "circular_convolve",
     "circular_convolve_adjoint", "imodwt", "modwt", "modwt_base_filters",
     "modwt_mra",
-    "imodwt2", "modwt2", "modwt2_mra",
+    "imodwt2", "modwt2", "modwt2_mra", "imodwt3", "modwt3", "modwt3_mra",
     "basis_coefficients", "basis_reconstruct", "best_basis", "iwpt", "iwpt2",
     "iwpt3", "log_energy_cost", "shannon_entropy_cost", "sure_cost",
     "threshold_cost", "wpt", "wpt2", "wpt3", "wpt_tree",

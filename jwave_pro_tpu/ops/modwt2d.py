@@ -1,13 +1,18 @@
-"""2D separable MODWT (undecimated wavelet transform for images).
+"""2D/3D separable MODWT (undecimated wavelet transform for images/volumes).
 
 Beyond the reference's scope (its MODWT is 1D-only, SURVEY §2.1) but the
 natural TPU extension: per level j the à-trous filter pair runs along rows
-then columns, producing full-resolution LH/HL/HH detail bands and an LL
-approximation that feeds the next level — all batched convolutions.
+then columns (then depth for 3D), producing full-resolution detail bands and
+an approximation that feeds the next level — all batched convolutions.
 
 Layout: ``modwt2`` returns ``(3·level+1, ..., R, C)``:
 rows ``3(j−1) .. 3(j−1)+2`` are (LH_j, HL_j, HH_j) — (row-low·col-high,
 row-high·col-low, row-high·col-high) — and the last row is LL_J.
+``modwt3`` returns ``(7·level+1, ..., D, R, C)``: rows ``7(j−1)..7(j−1)+6``
+are the detail octants in binary order (LLH, LHL, LHH, HLL, HLH, HHL, HHH;
+letter k applies the scaling (L=g) or wavelet (H=h) filter along axis
+``−3+k`` — first letter = depth, last letter = the last axis), and the
+final row is the approximation LLL_J.
 Perfect reconstruction follows per axis from the 1D identity
 ``Conv_gᵀConv_g + Conv_hᵀConv_h = I`` (the √2-normalized MODWT filter bank).
 """
@@ -19,7 +24,8 @@ import jax.numpy as jnp
 from ..wavelets.base import DiscreteWavelet
 from .modwt import MAX_DECOMPOSITION_LEVEL, _conv_channels, modwt_base_filters
 
-__all__ = ["modwt2", "imodwt2", "modwt2_mra"]
+__all__ = ["modwt2", "imodwt2", "modwt2_mra", "modwt3", "imodwt3",
+           "modwt3_mra"]
 
 
 def _conv_last(x, f, d, adjoint):
@@ -93,4 +99,92 @@ def modwt2_mra(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
     zeros = jnp.zeros_like(c)
     for i in range(c.shape[0]):
         comps.append(imodwt2(zeros.at[i].set(c[i]), wavelet))
+    return jnp.stack(comps, axis=0)
+
+
+def _conv_depth(x, f, d, adjoint):
+    """Dilated circular conv along the third-to-last axis."""
+    xt = jnp.swapaxes(x, -1, -3)
+    return jnp.swapaxes(_conv_last(xt, f, d, adjoint), -1, -3)
+
+
+def _check_3d(p, r, c, level):
+    if level < 1 or level > MAX_DECOMPOSITION_LEVEL:
+        raise ValueError(f"level must be in [1, {MAX_DECOMPOSITION_LEVEL}]")
+    theo = min(p.bit_length(), r.bit_length(), c.bit_length()) - 1
+    if level > theo:
+        raise ValueError(f"level {level} exceeds theoretical limit {theo} "
+                         f"for shape ({p}, {r}, {c})")
+
+
+def modwt3(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
+    """Forward 3D MODWT over the last three axes (any sizes).
+
+    Separable octant cascade — the undecimated analog of the reference's
+    3D dispatch pattern (``BasicTransform.java:509-566``), with the à-trous
+    level-j filters applied along cols, rows, then depth.
+    """
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(jnp.float32)
+    _check_3d(x.shape[-3], x.shape[-2], x.shape[-1], level)
+    g64, h64 = modwt_base_filters(wavelet)
+    g = jnp.asarray(g64, dtype=x.dtype)
+    h = jnp.asarray(h64, dtype=x.dtype)
+    rows = []
+    lll = x
+    for j in range(1, level + 1):
+        d = 1 << (j - 1)
+        cl = _conv_last(lll, g, d, False)      # col pass (last axis)
+        ch = _conv_last(lll, h, d, False)
+        rll = _conv_cols(cl, g, d, False)      # row pass
+        rlh = _conv_cols(ch, g, d, False)
+        rhl = _conv_cols(cl, h, d, False)
+        rhh = _conv_cols(ch, h, d, False)
+        # depth pass: order (depth, row, col) = (b2, b1, b0) binary octants
+        llh = _conv_depth(rlh, g, d, False)
+        lhl = _conv_depth(rhl, g, d, False)
+        lhh = _conv_depth(rhh, g, d, False)
+        hll = _conv_depth(rll, h, d, False)
+        hlh = _conv_depth(rlh, h, d, False)
+        hhl = _conv_depth(rhl, h, d, False)
+        hhh = _conv_depth(rhh, h, d, False)
+        rows.extend([llh, lhl, lhh, hll, hlh, hhl, hhh])
+        lll = _conv_depth(rll, g, d, False)
+    rows.append(lll)
+    return jnp.stack(rows, axis=0)
+
+
+def imodwt3(coeffs: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
+    """Inverse 3D MODWT: ``(7·level+1, ..., D, R, C)`` → ``(..., D, R, C)``."""
+    coeffs = jnp.asarray(coeffs)
+    level = (coeffs.shape[0] - 1) // 7
+    g64, h64 = modwt_base_filters(wavelet)
+    g = jnp.asarray(g64, dtype=coeffs.dtype)
+    h = jnp.asarray(h64, dtype=coeffs.dtype)
+    lll = coeffs[7 * level]
+    for j in range(level, 0, -1):
+        d = 1 << (j - 1)
+        llh, lhl, lhh, hll, hlh, hhl, hhh = (
+            coeffs[7 * (j - 1) + k] for k in range(7))
+        # undo depth pass per (row, col) quadrant
+        rll = _conv_depth(lll, g, d, True) + _conv_depth(hll, h, d, True)
+        rlh = _conv_depth(llh, g, d, True) + _conv_depth(hlh, h, d, True)
+        rhl = _conv_depth(lhl, g, d, True) + _conv_depth(hhl, h, d, True)
+        rhh = _conv_depth(lhh, g, d, True) + _conv_depth(hhh, h, d, True)
+        # undo row pass per col band
+        cl = _conv_cols(rll, g, d, True) + _conv_cols(rhl, h, d, True)
+        ch = _conv_cols(rlh, g, d, True) + _conv_cols(rhh, h, d, True)
+        # undo col pass
+        lll = _conv_last(cl, g, d, True) + _conv_last(ch, h, d, True)
+    return lll
+
+
+def modwt3_mra(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
+    """Additive 3D MRA: per-band components summing to the volume."""
+    c = modwt3(x, wavelet, level)
+    comps = []
+    zeros = jnp.zeros_like(c)
+    for i in range(c.shape[0]):
+        comps.append(imodwt3(zeros.at[i].set(c[i]), wavelet))
     return jnp.stack(comps, axis=0)

@@ -240,3 +240,50 @@ def test_wavelet_covariance_of_identical_signals(rng):
     cov = np.asarray(modwt_covariance(x, x, DB4, 3))
     var = np.asarray(modwt_variance(x, DB4, 3))
     np.testing.assert_allclose(cov, var, rtol=1e-12)
+
+def test_modwt3_roundtrip_energy_shift(rng):
+    from jwave_pro_tpu.ops.modwt2d import imodwt3, modwt3
+    x = rng.standard_normal((8, 12, 20))
+    c = np.asarray(modwt3(x, DB4, 2))
+    assert c.shape == (15, 8, 12, 20)
+    np.testing.assert_allclose(np.asarray(imodwt3(c, DB4)), x, atol=1e-10)
+    np.testing.assert_allclose(np.sum(c * c), np.sum(x * x), rtol=1e-10)
+    # 3D shift-invariance (all axes)
+    xs = np.roll(np.roll(np.roll(x, 2, 0), 3, 1), 5, 2)
+    cs = np.asarray(modwt3(xs, DB4, 1))
+    c1 = np.asarray(modwt3(x, DB4, 1))
+    np.testing.assert_allclose(
+        cs, np.roll(np.roll(np.roll(c1, 2, 1), 3, 2), 5, 3), atol=1e-10)
+
+
+def test_modwt3_batched_and_band_octants(rng):
+    from jwave_pro_tpu.ops.modwt2d import modwt2, modwt3
+    xb = rng.standard_normal((2, 8, 8, 8))
+    cb = np.asarray(modwt3(xb, HAAR, 1))
+    for i in range(2):
+        np.testing.assert_allclose(
+            cb[:, i], np.asarray(modwt3(xb[i], HAAR, 1)), atol=1e-12)
+    # depth-constant volume: depth-high octants vanish, depth-low octants
+    # equal the 2D bands of the slice (scaled by the depth DC gain Σg).
+    from jwave_pro_tpu.ops.modwt import modwt_base_filters
+    g, _ = modwt_base_filters(DB4)
+    dc = float(np.sum(np.asarray(g)))
+    img = rng.standard_normal((16, 16))
+    vol = np.broadcast_to(img, (8, 16, 16))
+    c3 = np.asarray(modwt3(vol, DB4, 1))
+    c2 = np.asarray(modwt2(img, DB4, 1))
+    assert np.abs(c3[3:7]).max() < 1e-10          # HLL, HLH, HHL, HHH
+    # 3D letters map (axis−3, −2, −1); the 2D band order is (LH, HL, HH)
+    # with g on the LAST axis for LH — so LLH (g@−2, h@−1) pairs with HL.
+    np.testing.assert_allclose(c3[0][0], dc * c2[1], atol=1e-10)  # LLH ~ HL
+    np.testing.assert_allclose(c3[1][0], dc * c2[0], atol=1e-10)  # LHL ~ LH
+    np.testing.assert_allclose(c3[2][0], dc * c2[2], atol=1e-10)  # LHH ~ HH
+    np.testing.assert_allclose(c3[7][0], dc * c2[3], atol=1e-10)  # LLL ~ LL
+
+
+def test_modwt3_mra_sums_to_volume(rng):
+    from jwave_pro_tpu.ops.modwt2d import modwt3_mra
+    x = rng.standard_normal((8, 8, 8))
+    comps = np.asarray(modwt3_mra(x, HAAR, 2))
+    assert comps.shape == (15, 8, 8, 8)
+    np.testing.assert_allclose(comps.sum(axis=0), x, atol=1e-10)
