@@ -12,9 +12,28 @@ import jax
 import jax.numpy as jnp
 
 from ..wavelets.base import DiscreteWavelet
-from .fwt import fwt, ifwt
+from .fwt import analysis_step, fwt, ifwt, synthesis_step
 
-__all__ = ["wavedec", "waverec", "coeffs_to_flat", "flat_to_coeffs"]
+__all__ = ["dwt", "idwt", "wavedec", "waverec", "coeffs_to_flat",
+           "flat_to_coeffs"]
+
+
+def dwt(x: jax.Array, wavelet: DiscreteWavelet):
+    """Single-level DWT: ``x (..., N) → (cA, cD)``, each ``(..., N/2)``.
+
+    The pywt-style pair view of one :func:`analysis_step` (the reference's
+    per-level ``Wavelet.forward``, ``Wavelet.java:236-260``); periodic
+    boundaries (pywt ``mode='periodization'`` up to filter phase).
+    """
+    y = analysis_step(jnp.asarray(x), wavelet)
+    half = y.shape[-1] // 2
+    return y[..., :half], y[..., half:]
+
+
+def idwt(ca: jax.Array, cd: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
+    """Inverse of :func:`dwt`: ``(cA, cD) → (..., 2·len(cA))``."""
+    return synthesis_step(
+        jnp.concatenate([jnp.asarray(ca), jnp.asarray(cd)], axis=-1), wavelet)
 
 
 def flat_to_coeffs(y: jax.Array, level: int) -> list[jax.Array]:

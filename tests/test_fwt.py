@@ -150,3 +150,15 @@ def test_pywt_style_wavedec_waverec(rng):
     # layout equivalence with the flat FWT array
     flat = np.asarray(jw.fwt(x, DB4, 3))
     np.testing.assert_allclose(np.asarray(jw.coeffs_to_flat(coeffs)), flat)
+
+def test_pywt_style_dwt_idwt(rng):
+    x = rng.standard_normal((3, 32))
+    ca, cd = jw.dwt(x, DB4)
+    assert ca.shape == cd.shape == (3, 16)
+    np.testing.assert_allclose(np.asarray(jw.idwt(ca, cd, DB4)), x, atol=1e-8)
+    # one dwt level == the deepest slice of a level-1 wavedec
+    c1 = jw.wavedec(x[0], DB4, 1)
+    np.testing.assert_allclose(np.asarray(ca[0]), np.asarray(c1[0]),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cd[0]), np.asarray(c1[1]),
+                               atol=1e-12)
