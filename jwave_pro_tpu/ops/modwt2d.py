@@ -5,14 +5,15 @@ natural TPU extension: per level j the à-trous filter pair runs along rows
 then columns (then depth for 3D), producing full-resolution detail bands and
 an approximation that feeds the next level — all batched convolutions.
 
-Layout: ``modwt2`` returns ``(3·level+1, ..., R, C)``:
-rows ``3(j−1) .. 3(j−1)+2`` are (LH_j, HL_j, HH_j) — (row-low·col-high,
-row-high·col-low, row-high·col-high) — and the last row is LL_J.
+Band-letter convention (consistent across 2D and 3D): letters read in the
+same order as the printed shape — (row, col) for 2D, (depth, row, col) for
+3D — with L applying the scaling filter g and H the wavelet filter h along
+that axis.  ``modwt2`` returns ``(3·level+1, ..., R, C)``: rows
+``3(j−1) .. 3(j−1)+2`` are (LH_j, HL_j, HH_j) — (g@rows·h@cols,
+h@rows·g@cols, h@rows·h@cols) — and the last row is LL_J.
 ``modwt3`` returns ``(7·level+1, ..., D, R, C)``: rows ``7(j−1)..7(j−1)+6``
-are the detail octants in binary order (LLH, LHL, LHH, HLL, HLH, HHL, HHH;
-letter k applies the scaling (L=g) or wavelet (H=h) filter along axis
-``−3+k`` — first letter = depth, last letter = the last axis), and the
-final row is the approximation LLL_J.
+are the detail octants in increasing binary order of the letter string
+(LLH, LHL, LHH, HLL, HLH, HHL, HHH), and the final row is LLL_J.
 Perfect reconstruction follows per axis from the 1D identity
 ``Conv_gᵀConv_g + Conv_hᵀConv_h = I`` (the √2-normalized MODWT filter bank).
 """
@@ -39,13 +40,13 @@ def _conv_cols(x, f, d, adjoint):
     return jnp.swapaxes(_conv_last(xt, f, d, adjoint), -1, -2)
 
 
-def _check_2d(r, c, level):
+def _check_nd(dims, level):
     if level < 1 or level > MAX_DECOMPOSITION_LEVEL:
         raise ValueError(f"level must be in [1, {MAX_DECOMPOSITION_LEVEL}]")
-    theo = min(r.bit_length(), c.bit_length()) - 1
+    theo = min(d.bit_length() for d in dims) - 1
     if level > theo:
         raise ValueError(f"level {level} exceeds theoretical limit {theo} "
-                         f"for shape ({r}, {c})")
+                         f"for shape {tuple(dims)}")
 
 
 def modwt2(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
@@ -53,7 +54,7 @@ def modwt2(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(jnp.float32)
-    _check_2d(x.shape[-2], x.shape[-1], level)
+    _check_nd(x.shape[-2:], level)
     g64, h64 = modwt_base_filters(wavelet)
     g = jnp.asarray(g64, dtype=x.dtype)
     h = jnp.asarray(h64, dtype=x.dtype)
@@ -61,12 +62,12 @@ def modwt2(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
     ll = x
     for j in range(1, level + 1):
         d = 1 << (j - 1)
-        rl = _conv_last(ll, g, d, False)   # row pass (last axis)
-        rh = _conv_last(ll, h, d, False)
-        lh = _conv_cols(rl, h, d, False)   # row-low · col-high
-        hl = _conv_cols(rh, g, d, False)
-        hh = _conv_cols(rh, h, d, False)
-        ll = _conv_cols(rl, g, d, False)
+        cl = _conv_last(ll, g, d, False)   # col pass (last axis)
+        ch = _conv_last(ll, h, d, False)
+        lh = _conv_cols(ch, g, d, False)   # row-low · col-high
+        hl = _conv_cols(cl, h, d, False)   # row-high · col-low
+        hh = _conv_cols(ch, h, d, False)
+        ll = _conv_cols(cl, g, d, False)
         rows.extend([lh, hl, hh])
     rows.append(ll)
     return jnp.stack(rows, axis=0)
@@ -75,6 +76,10 @@ def modwt2(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
 def imodwt2(coeffs: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     """Inverse 2D MODWT: ``(3·level+1, ..., R, C)`` → ``(..., R, C)``."""
     coeffs = jnp.asarray(coeffs)
+    if coeffs.shape[0] % 3 != 1:
+        raise ValueError(
+            f"2D MODWT coefficient stack must have 3·level+1 rows, got "
+            f"{coeffs.shape[0]}")
     level = (coeffs.shape[0] - 1) // 3
     g64, h64 = modwt_base_filters(wavelet)
     g = jnp.asarray(g64, dtype=coeffs.dtype)
@@ -86,9 +91,9 @@ def imodwt2(coeffs: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
         hl = coeffs[3 * (j - 1) + 1]
         hh = coeffs[3 * (j - 1) + 2]
 
-        rl = _conv_cols(ll, g, d, True) + _conv_cols(lh, h, d, True)
-        rh = _conv_cols(hl, g, d, True) + _conv_cols(hh, h, d, True)
-        ll = _conv_last(rl, g, d, True) + _conv_last(rh, h, d, True)
+        cl = _conv_cols(ll, g, d, True) + _conv_cols(hl, h, d, True)
+        ch = _conv_cols(lh, g, d, True) + _conv_cols(hh, h, d, True)
+        ll = _conv_last(cl, g, d, True) + _conv_last(ch, h, d, True)
     return ll
 
 
@@ -108,15 +113,6 @@ def _conv_depth(x, f, d, adjoint):
     return jnp.swapaxes(_conv_last(xt, f, d, adjoint), -1, -3)
 
 
-def _check_3d(p, r, c, level):
-    if level < 1 or level > MAX_DECOMPOSITION_LEVEL:
-        raise ValueError(f"level must be in [1, {MAX_DECOMPOSITION_LEVEL}]")
-    theo = min(p.bit_length(), r.bit_length(), c.bit_length()) - 1
-    if level > theo:
-        raise ValueError(f"level {level} exceeds theoretical limit {theo} "
-                         f"for shape ({p}, {r}, {c})")
-
-
 def modwt3(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
     """Forward 3D MODWT over the last three axes (any sizes).
 
@@ -127,7 +123,7 @@ def modwt3(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(jnp.float32)
-    _check_3d(x.shape[-3], x.shape[-2], x.shape[-1], level)
+    _check_nd(x.shape[-3:], level)
     g64, h64 = modwt_base_filters(wavelet)
     g = jnp.asarray(g64, dtype=x.dtype)
     h = jnp.asarray(h64, dtype=x.dtype)
@@ -158,6 +154,10 @@ def modwt3(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
 def imodwt3(coeffs: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     """Inverse 3D MODWT: ``(7·level+1, ..., D, R, C)`` → ``(..., D, R, C)``."""
     coeffs = jnp.asarray(coeffs)
+    if coeffs.shape[0] % 7 != 1:
+        raise ValueError(
+            f"3D MODWT coefficient stack must have 7·level+1 rows, got "
+            f"{coeffs.shape[0]}")
     level = (coeffs.shape[0] - 1) // 7
     g64, h64 = modwt_base_filters(wavelet)
     g = jnp.asarray(g64, dtype=coeffs.dtype)

@@ -23,17 +23,26 @@ def dwt(x: jax.Array, wavelet: DiscreteWavelet):
 
     The pywt-style pair view of one :func:`analysis_step` (the reference's
     per-level ``Wavelet.forward``, ``Wavelet.java:236-260``); periodic
-    boundaries (pywt ``mode='periodization'`` up to filter phase).
+    boundaries (pywt ``mode='periodization'`` up to filter phase).  N must
+    be even (the stride-2 split; pywt pads odd input, we do not).
     """
-    y = analysis_step(jnp.asarray(x), wavelet)
+    x = jnp.asarray(x)
+    if x.shape[-1] % 2:
+        raise ValueError(
+            f"dwt requires an even last-axis length, got {x.shape[-1]}")
+    y = analysis_step(x, wavelet)
     half = y.shape[-1] // 2
     return y[..., :half], y[..., half:]
 
 
 def idwt(ca: jax.Array, cd: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
     """Inverse of :func:`dwt`: ``(cA, cD) → (..., 2·len(cA))``."""
-    return synthesis_step(
-        jnp.concatenate([jnp.asarray(ca), jnp.asarray(cd)], axis=-1), wavelet)
+    ca, cd = jnp.asarray(ca), jnp.asarray(cd)
+    if ca.shape[-1] != cd.shape[-1]:
+        raise ValueError(
+            f"cA and cD must have equal last-axis lengths, got "
+            f"{ca.shape[-1]} and {cd.shape[-1]}")
+    return synthesis_step(jnp.concatenate([ca, cd], axis=-1), wavelet)
 
 
 def flat_to_coeffs(y: jax.Array, level: int) -> list[jax.Array]:

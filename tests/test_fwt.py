@@ -162,3 +162,9 @@ def test_pywt_style_dwt_idwt(rng):
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(cd[0]), np.asarray(c1[1]),
                                atol=1e-12)
+
+def test_dwt_idwt_validation(rng):
+    with np.testing.assert_raises(ValueError):
+        jw.dwt(rng.standard_normal(33), DB4)       # odd length
+    with np.testing.assert_raises(ValueError):
+        jw.idwt(rng.standard_normal(6), rng.standard_normal(4), DB4)

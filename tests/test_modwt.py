@@ -198,26 +198,28 @@ def test_method_selection_rules():
 
 def test_modwt2_matches_separable_oracle(rng):
     # independent check: 2D MODWT == 1D oracle convolutions applied
-    # separably (rows then columns) per level.
+    # separably per level.  Band letters read (row, col): LH = g along
+    # rows (axis -2), h along cols (axis -1).
     from jwave_pro_tpu.ops.modwt2d import modwt2
     x = rng.standard_normal((12, 17))
     g, h = oracles.modwt_filters(DB4)
     got = np.asarray(modwt2(x, DB4, 2))
 
-    def conv_rows(a, f):
+    def conv_last(a, f):
         return np.stack([oracles.circular_convolve(r, f) for r in a])
 
-    def conv_cols(a, f):
-        return conv_rows(a.T, f).T
+    def conv_rows(a, f):
+        return conv_last(a.T, f).T
 
     ll = x
     want = []
     for j in (1, 2):
         gj, hj = oracles.upsample(g, j), oracles.upsample(h, j)
-        rl, rh = conv_rows(ll, gj), conv_rows(ll, hj)
-        want.extend([conv_cols(rl, hj), conv_cols(rh, gj),
-                     conv_cols(rh, hj)])
-        ll = conv_cols(rl, gj)
+        cl, ch = conv_last(ll, gj), conv_last(ll, hj)
+        want.extend([conv_rows(ch, gj),    # LH
+                     conv_rows(cl, hj),    # HL
+                     conv_rows(ch, hj)])   # HH
+        ll = conv_rows(cl, gj)
     want.append(ll)
     np.testing.assert_allclose(got, np.stack(want), atol=1e-10)
 
@@ -273,10 +275,9 @@ def test_modwt3_batched_and_band_octants(rng):
     c3 = np.asarray(modwt3(vol, DB4, 1))
     c2 = np.asarray(modwt2(img, DB4, 1))
     assert np.abs(c3[3:7]).max() < 1e-10          # HLL, HLH, HHL, HHH
-    # 3D letters map (axis−3, −2, −1); the 2D band order is (LH, HL, HH)
-    # with g on the LAST axis for LH — so LLH (g@−2, h@−1) pairs with HL.
-    np.testing.assert_allclose(c3[0][0], dc * c2[1], atol=1e-10)  # LLH ~ HL
-    np.testing.assert_allclose(c3[1][0], dc * c2[0], atol=1e-10)  # LHL ~ LH
+    # consistent letter convention: 3D LLH (depth-low) pairs with 2D LH etc.
+    np.testing.assert_allclose(c3[0][0], dc * c2[0], atol=1e-10)  # LLH ~ LH
+    np.testing.assert_allclose(c3[1][0], dc * c2[1], atol=1e-10)  # LHL ~ HL
     np.testing.assert_allclose(c3[2][0], dc * c2[2], atol=1e-10)  # LHH ~ HH
     np.testing.assert_allclose(c3[7][0], dc * c2[3], atol=1e-10)  # LLL ~ LL
 
@@ -287,3 +288,12 @@ def test_modwt3_mra_sums_to_volume(rng):
     comps = np.asarray(modwt3_mra(x, HAAR, 2))
     assert comps.shape == (15, 8, 8, 8)
     np.testing.assert_allclose(comps.sum(axis=0), x, atol=1e-10)
+
+def test_imodwt_nd_rejects_malformed_stacks(rng):
+    from jwave_pro_tpu.ops.modwt2d import imodwt2, imodwt3, modwt2, modwt3
+    c2 = modwt2(rng.standard_normal((16, 16)), HAAR, 1)   # 4 rows
+    c3 = modwt3(rng.standard_normal((8, 8, 8)), HAAR, 1)  # 8 rows
+    with np.testing.assert_raises(ValueError):
+        imodwt3(c2, HAAR)   # 4 % 7 != 1
+    with np.testing.assert_raises(ValueError):
+        imodwt2(c3, HAAR)   # 8 % 3 != 1
