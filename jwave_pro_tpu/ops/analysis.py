@@ -24,31 +24,143 @@ from ..wavelets.base import DiscreteWavelet
 from .modwt import modwt
 
 __all__ = [
-    "modwt_variance", "modwt_covariance", "modwt_correlation",
-    "modwt_cross_correlation", "modwt_hurst", "scale_energies",
-    "WTCResult", "wavelet_coherence",
+    "modwt_variance", "modwt_variance_ci", "VarianceCI", "modwt_covariance",
+    "modwt_correlation", "modwt_cross_correlation", "modwt_hurst",
+    "scale_energies", "WTCResult", "wavelet_coherence",
 ]
 
 
-def modwt_variance(x: jax.Array, wavelet: DiscreteWavelet, level: int,
-                   method: str = "auto") -> jax.Array:
-    """Per-scale wavelet variance ν²_j = mean(W_j²), shape ``(level, ...)``.
+def _boundary_counts(n: int, level: int, filter_len: int):
+    """(L_j − 1, M_j) per level: boundary-coefficient count and the number
+    of interior coefficients for the unbiased Percival–Walden estimator.
 
-    The detail rows of the MODWT partition the sample variance:
+    L_j = (2^j − 1)(L − 1) + 1 is the level-j equivalent-filter width
+    (Percival & Walden eq. 169); the first L_j − 1 MODWT coefficients are
+    affected by the circular wrap and are excluded ("brick wall").
+    """
+    out = []
+    for j in range(1, level + 1):
+        lj = ((1 << j) - 1) * (filter_len - 1) + 1
+        out.append((lj - 1, n - lj + 1))
+    return out
+
+
+def _extend(x: jax.Array, boundary: str) -> jax.Array:
+    if boundary == "periodic":
+        return x
+    if boundary == "reflect":
+        # Percival–Walden §5.9 / waveslim convention: analyze the
+        # reflection-extended series [x, reverse(x)] (length 2N) with the
+        # circular machinery, removing the wrap discontinuity.
+        return jnp.concatenate([x, jnp.flip(x, axis=-1)], axis=-1)
+    raise ValueError(f"boundary must be 'periodic' or 'reflect', "
+                     f"got {boundary!r}")
+
+
+def modwt_variance(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+                   method: str = "auto", estimator: str = "biased",
+                   boundary: str = "periodic") -> jax.Array:
+    """Per-scale wavelet variance ν²_j, shape ``(level, ...)``.
+
+    ``estimator='biased'`` (default): mean over all coefficients — the
+    detail rows then partition the sample variance,
     ``Σ_j ν²_j + mean(V_J²) − mean(x)² = Var[x]`` (energy preservation of
     the √2-normalized filter bank).
 
-    On TPU, f32/bf16 (B, N)/(N,) inputs auto-dispatch to the single-pass
-    fused kernel (kernels/variance_pallas.py) — the coefficients never
-    touch HBM, so the whole statistic costs ~one read of the signal.
-    ``method='fused'`` forces it (raising if the shape is unsupported);
-    any other explicit method uses the corresponding transform path.
+    ``estimator='unbiased'``: the Percival–Walden estimator — the first
+    L_j − 1 boundary-affected coefficients of each level are excluded and
+    the mean runs over the M_j = N − L_j + 1 interior ones (requires
+    M_j > 0 at the deepest level).  ``boundary='reflect'`` additionally
+    analyzes the reflection-extended series [x, reverse(x)] (length 2N),
+    removing the circular-wrap discontinuity entirely — the standard
+    choice for nonperiodic data such as financial series.
+
+    On TPU, f32/bf16 (B, N)/(N,) inputs auto-dispatch the biased/periodic
+    case to the single-pass fused kernel (kernels/variance_pallas.py) —
+    the coefficients never touch HBM, so the whole statistic costs ~one
+    read of the signal.  ``method='fused'`` forces it (raising if the
+    shape/estimator is unsupported); any other explicit method uses the
+    corresponding transform path.
     """
-    out = _try_var_fused(x, wavelet, level, method)
-    if out is not None:
-        return out
+    if estimator not in ("biased", "unbiased"):
+        raise ValueError(f"estimator must be 'biased' or 'unbiased', "
+                         f"got {estimator!r}")
+    x = _extend(jnp.asarray(x), boundary)
+    if estimator == "biased":
+        out = _try_var_fused(x, wavelet, level, method)
+        if out is not None:
+            return out
+        c = modwt(x, wavelet, level, method)
+        return jnp.mean(c[:level] ** 2, axis=-1)
+    if method == "fused":
+        raise ValueError("the fused single-pass kernel computes the biased "
+                         "estimator; use method='auto' with "
+                         "estimator='unbiased'")
+    n = x.shape[-1]
+    counts = _boundary_counts(n, level, wavelet.length)
+    if counts[-1][1] <= 0:
+        raise ValueError(
+            f"unbiased estimator needs N > (2^level − 1)(L − 1) interior "
+            f"samples; level {level} with L={wavelet.length} leaves "
+            f"M_J = {counts[-1][1]} ≤ 0 for N={n}")
     c = modwt(x, wavelet, level, method)
-    return jnp.mean(c[:level] ** 2, axis=-1)
+    rows = [jnp.sum(c[j - 1, ..., nb:] ** 2, axis=-1) / m
+            for j, (nb, m) in enumerate(counts, start=1)]
+    return jnp.stack(rows, axis=0)
+
+
+class VarianceCI(typing.NamedTuple):
+    """Wavelet variance with χ² confidence band, all shaped ``(level, ...)``
+    except ``edf`` (``(level,)`` numpy)."""
+    variance: jax.Array
+    lower: jax.Array
+    upper: jax.Array
+    edf: np.ndarray
+
+
+def modwt_variance_ci(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+                      confidence: float = 0.95, method: str = "auto",
+                      estimator: str = "unbiased",
+                      boundary: str = "periodic") -> VarianceCI:
+    """Wavelet variance with the Percival–Walden χ² confidence interval.
+
+    Uses the large-sample approximation ν̂²_j ~ ν²_j·χ²_η/η with the EDF-3
+    band-limited heuristic η_j = max(M_j / 2^j, 1) (Percival & Walden
+    eq. 313/314's practical fallback; M_j = interior-coefficient count for
+    the unbiased estimator, N for the biased one), giving
+
+        CI = [ η ν̂² / Q_η(1−α/2) ,  η ν̂² / Q_η(α/2) ]
+
+    with Q_η the χ²_η quantile (host-side scipy, static per (N, level)).
+    Batched and jittable in ``x`` — only the data-independent quantiles
+    live on the host.
+
+    With ``boundary='reflect'`` the variance averages over the 2N-length
+    extended series, but the EDF is still based on the original N — the
+    reflected half repeats the same N observations and adds no degrees of
+    freedom (verified empirically: the sampling EDF of the reflected
+    estimator matches the periodic one, not 2×).
+    """
+    if not 0.0 < confidence < 1.0:
+        raise ValueError(f"confidence must be in (0, 1), got {confidence}")
+    from scipy.stats import chi2
+
+    var = modwt_variance(x, wavelet, level, method, estimator, boundary)
+    n = jnp.asarray(x).shape[-1]
+    if estimator == "unbiased":
+        m = [max(mj, 1)
+             for _, mj in _boundary_counts(n, level, wavelet.length)]
+    else:
+        m = [n] * level
+    eta = np.maximum(np.asarray(m, dtype=np.float64)
+                     / 2.0 ** np.arange(1, level + 1), 1.0)
+    alpha = 1.0 - confidence
+    qhi = chi2.ppf(1.0 - alpha / 2.0, eta)
+    qlo = chi2.ppf(alpha / 2.0, eta)
+    shape = (level,) + (1,) * (var.ndim - 1)
+    scale_lo = jnp.asarray(eta / qhi, dtype=var.dtype).reshape(shape)
+    scale_hi = jnp.asarray(eta / qlo, dtype=var.dtype).reshape(shape)
+    return VarianceCI(var, var * scale_lo, var * scale_hi, eta)
 
 
 def _try_var_fused(x, wavelet, level, method):

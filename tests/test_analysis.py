@@ -282,3 +282,67 @@ class TestRobustness:
         assert not np.iscomplexobj(e)
         np.testing.assert_allclose(
             e, np.sum(np.abs(np.asarray(c)) ** 2, axis=-1), rtol=1e-6)
+
+
+class TestUnbiasedVarianceAndCI:
+    def test_unbiased_matches_masked_oracle(self, rng):
+        from jwave_pro_tpu.ops.analysis import _boundary_counts
+        x = rng.standard_normal(300)
+        lvl = 3
+        c = np.asarray(jw.modwt(x, DB4, lvl, method="direct"))
+        got = np.asarray(jw.modwt_variance(x, DB4, lvl, method="direct",
+                                           estimator="unbiased"))
+        for j, (nb, m) in enumerate(_boundary_counts(300, lvl, DB4.length),
+                                    start=1):
+            want = np.sum(c[j - 1, nb:] ** 2) / m
+            np.testing.assert_allclose(got[j - 1], want, rtol=1e-12)
+
+    def test_unbiased_level_guard(self, rng):
+        # level 5 Db4: L_5 - 1 = 31*7 = 217 boundary coeffs > N=200 interior
+        with pytest.raises(ValueError, match="interior"):
+            jw.modwt_variance(rng.standard_normal(200), DB4, 5,
+                              estimator="unbiased")
+
+    def test_reflect_boundary_shrinks_leakage(self, rng):
+        # A strong linear trend leaks into coarse scales via the circular
+        # wrap (x[N-1] -> x[0] jump); reflection removes the jump.  The
+        # biased estimator includes the wrap-affected coefficients, so the
+        # deepest-scale variance must drop by orders of magnitude (the
+        # unbiased brick-wall excludes them by construction and is already
+        # clean — checked too).
+        n = 512
+        x = np.linspace(0.0, 10.0, n) + 0.01 * rng.standard_normal(n)
+        vp = np.asarray(jw.modwt_variance(x, DB4, 4, method="direct"))
+        vr = np.asarray(jw.modwt_variance(x, DB4, 4, method="direct",
+                                          boundary="reflect"))
+        assert vr[-1] < 1e-2 * vp[-1]
+        vu_p = np.asarray(jw.modwt_variance(x, DB4, 4, method="direct",
+                                            estimator="unbiased"))
+        assert vu_p[-1] < 1e-2 * vp[-1]
+
+    def test_ci_brackets_point_estimate_and_coverage(self, rng):
+        x = rng.standard_normal((8, 1024))
+        ci = jw.modwt_variance_ci(x, DB4, 3, confidence=0.95,
+                                  method="direct")
+        v, lo, hi = (np.asarray(a) for a in (ci.variance, ci.lower, ci.upper))
+        assert np.all(lo < v) and np.all(v < hi)
+        assert ci.edf.shape == (3,) and np.all(np.diff(ci.edf) < 0)
+        # white noise: true per-scale variance is 1/2^j (energy split in
+        # half per octave); the 95% band should contain it nearly always
+        truth = 0.5 ** np.arange(1, 4)[:, None]
+        hits = np.mean((lo <= truth) & (truth <= hi))
+        assert hits > 0.8
+
+    def test_ci_jits(self, rng):
+        x = rng.standard_normal(256)
+        f = jax.jit(lambda v: jw.modwt_variance_ci(v, DB4, 2,
+                                                   method="direct")[:3])
+        v, lo, hi = f(x)
+        assert np.all(np.asarray(lo) < np.asarray(v))
+
+    def test_biased_default_unchanged(self, rng):
+        x = rng.standard_normal(128)
+        a = np.asarray(jw.modwt_variance(x, DB4, 3, method="direct"))
+        c = np.asarray(jw.modwt(x, DB4, 3, method="direct"))
+        np.testing.assert_allclose(a, np.mean(c[:3] ** 2, axis=-1),
+                                   rtol=1e-12)
