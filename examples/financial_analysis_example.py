@@ -61,6 +61,16 @@ def main():
           f"{nu2_x.sum() + np.mean(np.asarray(jw.modwt(x, w, level))[level] ** 2):.4f}"
           f" vs mean(x²) = {np.mean(x ** 2):.4f}")
 
+    # --- statistically honest version: unbiased estimator + 95% CI -----
+    # (Percival-Walden brick-wall over reflection-extended series)
+    ci = jw.modwt_variance_ci(x, w, 6, confidence=0.95,
+                              estimator="unbiased", boundary="reflect")
+    print(f"\n{'scale j':>8} {'var(x)':>9} {'95% CI':>23} {'edf':>7}")
+    for j in range(6):
+        print(f"{j + 1:8d} {float(ci.variance[j]):9.4f} "
+              f"[{float(ci.lower[j]):9.4f}, {float(ci.upper[j]):9.4f}] "
+              f"{ci.edf[j]:7.0f}")
+
     # --- lead/lag by horizon: lagged wavelet cross-correlation ---------
     max_lag = 24
     cc = np.asarray(jw.modwt_cross_correlation(x, y, w, level, max_lag))
