@@ -38,6 +38,7 @@ __all__ = [
     "modwt_sharded", "imodwt_sharded", "cwt_sharded", "cwt_signal_sharded",
     "cwt2_sharded", "wpt_sharded", "iwpt_sharded", "fwt2_sharded",
     "fwt_sharded", "ifwt_sharded", "gather_fwt_layout",
+    "scattering_sharded",
 ]
 
 
@@ -685,3 +686,104 @@ def gather_fwt_layout(y, level: int, n_shards: int):
         off += sz
     return jnp.concatenate(
         [p.reshape(y.shape[:-1] + (-1,)) for p in pieces], axis=-1)
+
+
+def scattering_sharded(x, j: int, q: int = 8, order: int = 2,
+                       mesh: Mesh | None = None,
+                       scale_axis: str = "scale",
+                       batch_axis: str = "data",
+                       subsample: int | None = None):
+    """Wavelet scattering with the first-order path axis sharded.
+
+    The scattering cascade is an independent-subproblem tree: every
+    second-order path ``(λ, μ)`` depends on exactly one first-order
+    envelope ``U1[λ]``, so sharding the λ axis makes the ENTIRE second
+    order local to the chip that owns λ — the expert-parallel analog of
+    the reference's P1 packet distribution
+    (``ParallelWaveletPacketTransform.java:188-263``), one level deeper.
+    The shard_map body contains no collectives at all: each device FFTs
+    the (replicated) signal once, applies its L1/n_dev first-order
+    filters, and runs its own second-order paths.
+
+    Second-order path counts differ per shard (low-frequency λ admit
+    fewer μ), so each shard's path list is padded to the max with
+    all-zero ψ² rows — padded outputs are exactly zero, no masking.
+    Returns a :class:`~jwave_pro_tpu.ops.scattering.ScatteringResult`
+    whose ``s2`` has ``n_dev·P_max`` rows in shard-major order and whose
+    ``pairs`` table marks padding rows with ``i1 = -1``; filter with
+    ``pairs[:, 0] >= 0`` to recover exactly the unsharded path order.
+    """
+    import numpy as np
+
+    from ..ops.scattering import (
+        ScatteringResult, _lowpass_subsample, _pair_table, scattering_filters)
+
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("scattering_sharded expects a real signal")
+    n = x.shape[-1]
+    t = (1 << j) if subsample is None else subsample
+    if t < 1 or n % t:
+        raise ValueError(f"subsample stride {t} must divide N={n}")
+    if order not in (1, 2):
+        raise ValueError("order must be 1 or 2")
+    n_dev = mesh.shape[scale_axis]
+    psi1_np, xi1, psi2_np, xi2, phi_np = scattering_filters(n, j, q)
+    l1 = psi1_np.shape[0]
+    if l1 % n_dev:
+        raise ValueError(f"first-order path count L1 = J·Q = {l1} not "
+                         f"divisible by mesh axis {scale_axis}={n_dev}")
+    loc = l1 // n_dev
+    rdt = jnp.result_type(x.dtype, jnp.float32)
+
+    # per-shard second-order tables, padded to the max local path count
+    i1, i2 = _pair_table(n, j, q)
+    per = [np.nonzero((i1 >= d * loc) & (i1 < (d + 1) * loc))[0]
+           for d in range(n_dev)]
+    pmax = max((len(p) for p in per), default=0)
+    psi2_pad = np.zeros((n_dev, max(pmax, 1), n))
+    i1_rel = np.zeros((n_dev, max(pmax, 1)), dtype=np.int32)
+    pairs = np.full((n_dev, max(pmax, 1), 2), -1.0)
+    for d, idx in enumerate(per):
+        psi2_pad[d, :len(idx)] = psi2_np[i2[idx]]
+        i1_rel[d, :len(idx)] = i1[idx] - d * loc
+        pairs[d, :len(idx), 0] = i1[idx]
+        pairs[d, :len(idx), 1] = xi2[i2[idx]]
+
+    phi = jnp.asarray(phi_np, dtype=rdt)
+    want2 = order == 2 and i1.size > 0
+
+    def body(xl, psi1_l, psi2_l, i1rel_l):
+        xhat = jnp.fft.fft(xl)
+        s0 = _lowpass_subsample(xhat, phi, t)
+        u1 = jnp.abs(jnp.fft.ifft(xhat[..., None, :] * psi1_l))
+        u1hat = jnp.fft.fft(u1)
+        s1 = _lowpass_subsample(u1hat, phi, t)
+        if not want2:
+            return s0, s1
+        u2hat = jnp.take(u1hat, i1rel_l[0], axis=-2) * psi2_l[0]
+        u2 = jnp.abs(jnp.fft.ifft(u2hat))
+        s2 = _lowpass_subsample(jnp.fft.fft(u2), phi, t)
+        return s0, s1, s2
+
+    bspec = [None] * x.ndim
+    if batch_axis in mesh.axis_names and x.ndim > 1:
+        bspec[0] = batch_axis
+    lead = tuple(bspec[:-1])
+    out_specs = (P(*bspec), P(*lead, scale_axis, None))
+    in_specs = (P(*bspec), P(scale_axis, None),
+                P(scale_axis, None, None), P(scale_axis, None))
+    if want2:
+        out_specs = out_specs + (P(*lead, scale_axis, None),)
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    out = fn(x, jnp.asarray(psi1_np, dtype=rdt),
+             jnp.asarray(psi2_pad, dtype=rdt), jnp.asarray(i1_rel))
+    if want2:
+        s0, s1, s2 = out
+        pairs_out = pairs.reshape(-1, 2)
+    else:
+        s0, s1 = out
+        s2 = (None if order == 1
+              else jnp.zeros((*x.shape[:-1], 0, n // t), dtype=s1.dtype))
+        pairs_out = np.zeros((0, 2))
+    return ScatteringResult(s0=s0, s1=s1, s2=s2, xi1=xi1, pairs=pairs_out)

@@ -277,3 +277,49 @@ def test_fwt_sharded_batched(rng):
     ref = np.asarray(jw.fwt(xb, DB4, 2))
     np.testing.assert_allclose(np.asarray(gather_fwt_layout(y, 2, 4)), ref,
                                atol=1e-10)
+
+
+@needs8
+def test_scattering_scale_sharded_matches(rng):
+    from jwave_pro_tpu.parallel.sharded import scattering_sharded
+    mesh = make_mesh({"scale": 8})
+    x = rng.standard_normal(1024).astype(np.float32)
+    want = jw.scattering1d(x, j=4, q=2)            # L1 = 8 paths
+    got = scattering_sharded(x, j=4, q=2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got.s0), np.asarray(want.s0),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.s1), np.asarray(want.s1),
+                               atol=1e-5)
+    # compacting the padded shard-major s2 recovers the global path order
+    keep = got.pairs[:, 0] >= 0
+    np.testing.assert_allclose(np.asarray(got.s2)[keep],
+                               np.asarray(want.s2), atol=1e-5)
+    np.testing.assert_allclose(got.pairs[keep], want.pairs, atol=0)
+    # padding rows are exactly zero (zero psi2 rows, no masking needed)
+    assert np.all(np.asarray(got.s2)[~keep] == 0.0)
+
+
+@needs8
+def test_scattering_sharded_batched_order1(rng):
+    from jwave_pro_tpu.parallel.sharded import scattering_sharded
+    mesh = make_mesh({"data": 2, "scale": 4})
+    xb = rng.standard_normal((4, 512)).astype(np.float32)
+    want = jw.scattering1d(xb, j=4, q=1, order=1)
+    got = scattering_sharded(xb, j=4, q=1, order=1, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got.s1), np.asarray(want.s1),
+                               atol=1e-5)
+    assert got.s2 is None
+
+
+@needs8
+def test_scattering_sharded_zero_collectives(rng):
+    # the whole cascade is local: the compiled HLO must contain no
+    # all-gathers / collective-permutes / all-reduces at all.
+    from jwave_pro_tpu.parallel.sharded import scattering_sharded
+    mesh = make_mesh({"scale": 8})
+    x = rng.standard_normal(1024).astype(np.float32)
+    txt = jax.jit(lambda v: scattering_sharded(v, j=4, q=2, mesh=mesh).s2
+                  ).lower(x).compile().as_text()
+    for op in ("all-gather", "collective-permute", "all-reduce",
+               "all-to-all", "reduce-scatter"):
+        assert op not in txt, op
