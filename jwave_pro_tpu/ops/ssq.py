@@ -104,6 +104,80 @@ def _ssq_multipliers(wavelet: ContinuousWavelet, scales: tuple,
     return a, b, ad, bd
 
 
+def _ssq_reassign(xp, n, mults, weights, log_lo, dlog, n_freqs, gamma,
+                  rdtype, cdtype, axis_name: str | None = None):
+    """Core SSQ pipeline: padded signal → (Tx, Wx).
+
+    ``mults``/``weights`` may cover only a shard of the scale axis: with
+    ``axis_name`` set (inside a ``shard_map`` over that mesh axis) the
+    default-γ peak is a ``lax.pmax`` and the reassigned Tx is a ``lax.psum``
+    over the scale shards — reassignment is additive over scales, so the
+    partial one-hot accumulations sum exactly
+    (``parallel.sharded.ssq_sharded``).
+    """
+    padded_n = xp.shape[-1]
+    a_m, b_m, ad_m, bd_m = mults
+    s_count = a_m.shape[0]
+    xh = jnp.fft.rfft(xp, axis=-1)[..., None, :]  # (..., 1, F)
+
+    # chunk the scale axis past the XLA-FFT fusion knee, exactly like the
+    # plain CWT (ops/cwt.py:_scale_chunk) — ssq materializes FOUR (..., S, N)
+    # products (W and ∂_t W quadratures), so the knee bites sooner
+    batch_elems = int(np.prod(xp.shape[:-1], dtype=np.int64))
+    chunk = _scale_chunk(batch_elems, padded_n, s_count)
+
+    def half(mult):
+        return _half_irfft_chunked(xh, mult, padded_n, n, cdtype, rdtype,
+                                   chunk)
+
+    w_re, w_im = half(a_m), half(b_m)          # W     (..., S, N)
+    d_re, d_im = half(ad_m), half(bd_m)        # ∂_t W (..., S, N)
+
+    mag2 = w_re * w_re + w_im * w_im
+    if gamma is None:
+        peak = jnp.max(mag2, axis=(-2, -1), keepdims=True)
+        if axis_name is not None:
+            peak = lax.pmax(peak, axis_name)
+        thresh2 = (1e-6 ** 2) * peak
+    else:
+        thresh2 = jnp.asarray(float(gamma) ** 2, dtype=rdtype)
+    # phase transform: ω_inst = Im[∂_t W / W] (rad/s) → Hz
+    inst_f = (d_im * w_re - d_re * w_im) / (
+        2.0 * math.pi * jnp.maximum(mag2, jnp.finfo(rdtype).tiny))
+    valid = (mag2 > thresh2) & (inst_f > 0)
+    # log-spaced bin index; round to the nearest center
+    safe_f = jnp.maximum(inst_f, jnp.finfo(rdtype).tiny)
+    idx_f = (jnp.log(safe_f) - log_lo) / dlog
+    idx = jnp.round(idx_f).astype(jnp.int32)
+    valid &= (idx >= 0) & (idx < n_freqs)
+    idx = jnp.clip(idx, 0, n_freqs - 1)
+
+    w_coef = jax.lax.complex(w_re, w_im)
+
+    # Reassignment: scan over scales, one-hot scatter into the bin axis.
+    contrib = jnp.where(valid, w_coef, 0) * jnp.asarray(
+        weights, dtype=rdtype)[:, None]  # broadcasting over (..., S, N)
+    scan_c = jnp.moveaxis(contrib, -2, 0)  # (S, ..., N)
+    scan_i = jnp.moveaxis(idx, -2, 0)
+
+    def body(acc, si):
+        c_k, i_k = si
+        onehot = jax.nn.one_hot(i_k, n_freqs, dtype=rdtype,
+                                axis=-1)  # (..., N, L)
+        return acc + c_k[..., :, None] * onehot, None
+
+    acc0 = jnp.zeros(xp.shape[:-1] + (n, n_freqs), dtype=cdtype)
+    # shard_map VMA check: the scan carry must be varying over the same
+    # manual mesh axes as the scanned operands; deriving the zero init from
+    # an operand inherits exactly those (a no-op XLA folds away).
+    acc0 = acc0 + 0.0 * scan_c[0][..., :, None]
+    tx_nl, _ = lax.scan(body, acc0, (scan_c, scan_i))
+    tx = jnp.moveaxis(tx_nl, -1, -2)  # (..., L, N)
+    if axis_name is not None:
+        tx = lax.psum(tx, axis_name)
+    return tx, w_coef
+
+
 def ssq_cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
             sampling_rate: float = 1.0, n_freqs: int | None = None,
             freq_range: tuple[float, float] | None = None,
@@ -163,56 +237,9 @@ def ssq_cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
         float(sampling_rate))
 
     xp = pad_signal(x, padded_n, padding)
-    xh = jnp.fft.rfft(xp, axis=-1)[..., None, :]  # (..., 1, F)
-
-    # chunk the scale axis past the XLA-FFT fusion knee, exactly like the
-    # plain CWT (ops/cwt.py:_scale_chunk) — ssq materializes FOUR (..., S, N)
-    # products (W and ∂_t W quadratures), so the knee bites sooner
-    batch_elems = int(np.prod(xp.shape[:-1], dtype=np.int64))
-    chunk = _scale_chunk(batch_elems, padded_n, s_count)
-
-    def half(mult):
-        return _half_irfft_chunked(xh, mult, padded_n, n, cdtype, rdtype,
-                                   chunk)
-
-    w_re, w_im = half(a_m), half(b_m)          # W     (..., S, N)
-    d_re, d_im = half(ad_m), half(bd_m)        # ∂_t W (..., S, N)
-
-    mag2 = w_re * w_re + w_im * w_im
-    if gamma is None:
-        peak = jnp.max(mag2, axis=(-2, -1), keepdims=True)
-        thresh2 = (1e-6 ** 2) * peak
-    else:
-        thresh2 = jnp.asarray(float(gamma) ** 2, dtype=rdtype)
-    # phase transform: ω_inst = Im[∂_t W / W] (rad/s) → Hz
-    inst_f = (d_im * w_re - d_re * w_im) / (
-        2.0 * math.pi * jnp.maximum(mag2, jnp.finfo(rdtype).tiny))
-    valid = (mag2 > thresh2) & (inst_f > 0)
-    # log-spaced bin index; round to the nearest center
-    safe_f = jnp.maximum(inst_f, jnp.finfo(rdtype).tiny)
-    idx_f = (jnp.log(safe_f) - log_lo) / dlog
-    idx = jnp.round(idx_f).astype(jnp.int32)
-    valid &= (idx >= 0) & (idx < n_freqs)
-    idx = jnp.clip(idx, 0, n_freqs - 1)
-
     weights = _icwt_weights(scales_np)  # (S,) host f64
-    w_coef = jax.lax.complex(w_re, w_im)
-
-    # Reassignment: scan over scales, one-hot scatter into the bin axis.
-    contrib = jnp.where(valid, w_coef, 0) * jnp.asarray(
-        weights, dtype=rdtype)[:, None]  # broadcasting over (..., S, N)
-    scan_c = jnp.moveaxis(contrib, -2, 0)  # (S, ..., N)
-    scan_i = jnp.moveaxis(idx, -2, 0)
-
-    def body(acc, si):
-        c_k, i_k = si
-        onehot = jax.nn.one_hot(i_k, n_freqs, dtype=rdtype,
-                                axis=-1)  # (..., N, L)
-        return acc + c_k[..., :, None] * onehot, None
-
-    acc0 = jnp.zeros(x.shape[:-1] + (n, n_freqs), dtype=cdtype)
-    tx_nl, _ = lax.scan(body, acc0, (scan_c, scan_i))
-    tx = jnp.moveaxis(tx_nl, -1, -2)  # (..., L, N)
+    tx, w_coef = _ssq_reassign(xp, n, (a_m, b_m, ad_m, bd_m), weights,
+                               log_lo, dlog, n_freqs, gamma, rdtype, cdtype)
 
     freqs = np.exp(log_lo + dlog * np.arange(n_freqs))
     dt = 1.0 / sampling_rate

@@ -38,7 +38,7 @@ __all__ = [
     "modwt_sharded", "imodwt_sharded", "cwt_sharded", "cwt_signal_sharded",
     "cwt2_sharded", "wpt_sharded", "iwpt_sharded", "fwt2_sharded",
     "fwt_sharded", "ifwt_sharded", "gather_fwt_layout",
-    "scattering_sharded",
+    "scattering_sharded", "ssq_sharded",
 ]
 
 
@@ -787,3 +787,97 @@ def scattering_sharded(x, j: int, q: int = 8, order: int = 2,
               else jnp.zeros((*x.shape[:-1], 0, n // t), dtype=s1.dtype))
         pairs_out = np.zeros((0, 2))
     return ScatteringResult(s0=s0, s1=s1, s2=s2, xi1=xi1, pairs=pairs_out)
+
+
+def ssq_sharded(x, scales, wavelet=None, mesh: Mesh | None = None,
+                sampling_rate: float = 1.0, n_freqs: int | None = None,
+                freq_range: tuple[float, float] | None = None,
+                padding: str = "zero", gamma: float | None = None,
+                scale_axis: str = "scale", batch_axis: str = "data"):
+    """Synchrosqueezed CWT with the scale axis sharded.
+
+    Unlike the zero-comms CWT/scattering shards, synchrosqueezing needs a
+    genuine cross-scale reduction: every scale's coefficients reassign
+    into the SAME frequency-bin plane.  Each device computes W and ∂ₜW for
+    its shard of scales (multipliers enter pre-sharded), scatters its own
+    one-hot partial Tx, and the shards combine with ONE ``lax.psum`` over
+    the mesh axis (reassignment is additive over scales); the default-γ
+    magnitude floor adds one scalar-plane ``lax.pmax``.  Tx comes back
+    replicated across the scale axis, Wx stays scale-sharded.
+
+    Requires log-UNIFORM scales (e.g. ``generate_log_scales``): the icwt
+    trapezoid weights use the global grid spacing, which equals every
+    shard's local spacing only on a uniform-in-ln(a) grid.
+    """
+    import math
+
+    import numpy as np
+
+    from ..ops.cwt import _icwt_weights, pad_signal
+    from ..ops.ssq import SSQResult, _ssq_multipliers, _ssq_reassign
+    from ..utils.validation import next_power_of_two
+    from ..wavelets.continuous import MorletWavelet
+
+    if wavelet is None:
+        wavelet = MorletWavelet()
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(jnp.float32)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("ssq_sharded expects a real signal")
+    scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
+    if np.any(scales_np <= 0):
+        raise ValueError("Scales must be positive")
+    dln = np.diff(np.log(scales_np))
+    if dln.size and (dln.max() - dln.min()) > 1e-9 * max(dln.max(), 1e-30):
+        raise ValueError("ssq_sharded needs a log-uniform scale grid "
+                         "(generate_log_scales); got non-uniform ln-spacing")
+    n_dev = mesh.shape[scale_axis]
+    s_count = scales_np.shape[0]
+    if s_count % n_dev:
+        raise ValueError(f"n_scales {s_count} not divisible by mesh axis "
+                         f"{scale_axis}={n_dev}")
+    n = x.shape[-1]
+    padded_n = next_power_of_two(n)
+    if n_freqs is None:
+        n_freqs = s_count
+    fc = float(wavelet.center_frequency)
+    if freq_range is None:
+        f_lo, f_hi = fc / float(scales_np.max()), fc / float(scales_np.min())
+    else:
+        f_lo, f_hi = float(freq_range[0]), float(freq_range[1])
+    if not (0 < f_lo < f_hi):
+        raise ValueError("freq_range must satisfy 0 < f_min < f_max")
+    log_lo, log_hi = math.log(f_lo), math.log(f_hi)
+    dlog = (log_hi - log_lo) / (n_freqs - 1)
+
+    rdtype = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+    mults_np = _ssq_multipliers(wavelet, tuple(float(s) for s in scales_np),
+                                padded_n, float(sampling_rate))
+    weights_np = _icwt_weights(scales_np)
+    mdt = tuple(cdtype if np.iscomplexobj(m) else rdtype for m in mults_np)
+
+    def body(xl, a, b, ad, bd, wts):
+        xp = pad_signal(xl, padded_n, padding)
+        return _ssq_reassign(xp, n, (a, b, ad, bd), wts, log_lo, dlog,
+                             n_freqs, gamma, rdtype, cdtype,
+                             axis_name=scale_axis)
+
+    bspec = [None] * x.ndim
+    if batch_axis in mesh.axis_names and x.ndim > 1:
+        bspec[0] = batch_axis
+    lead = tuple(bspec[:-1])
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(*bspec),) + (P(scale_axis, None),) * 4 + (P(scale_axis),),
+        out_specs=(P(*lead, None, None), P(*lead, scale_axis, None)))
+    tx, wx = fn(x, *(jnp.asarray(m, dtype=d)
+                     for m, d in zip(mults_np, mdt)),
+                jnp.asarray(weights_np, dtype=rdtype))
+    freqs = np.exp(log_lo + dlog * np.arange(n_freqs))
+    dt = 1.0 / sampling_rate
+    return SSQResult(tx, wx, jnp.asarray(freqs).astype(rdtype),
+                     jnp.asarray(scales_np).astype(rdtype),
+                     jnp.asarray(np.arange(n) * dt), sampling_rate,
+                     wavelet.name)

@@ -323,3 +323,48 @@ def test_scattering_sharded_zero_collectives(rng):
     for op in ("all-gather", "collective-permute", "all-reduce",
                "all-to-all", "reduce-scatter"):
         assert op not in txt, op
+
+
+@needs8
+def test_ssq_scale_sharded_matches(rng):
+    from jwave_pro_tpu.parallel.sharded import ssq_sharded
+    mesh = make_mesh({"scale": 8})
+    t = np.arange(512) / 512.0
+    x = np.sin(2 * np.pi * 40 * t).astype(np.float32)
+    # scales bracketing the 40 Hz tone so Tx is non-trivial (scales are in
+    # seconds here: f = fc/a)
+    fc = float(jw.MorletWavelet().center_frequency)
+    scales = np.asarray(jw.generate_log_scales(fc / 160, fc / 10, 16))
+    want = jw.ssq_cwt(x, scales, sampling_rate=512.0)
+    assert float(np.abs(np.asarray(want.Tx)).max()) > 1e-2  # not vacuous
+    got = ssq_sharded(x, scales, mesh=mesh, sampling_rate=512.0)
+    np.testing.assert_allclose(np.asarray(got.Tx), np.asarray(want.Tx),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.Wx), np.asarray(want.Wx),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.ssq_freqs),
+                               np.asarray(want.ssq_freqs), rtol=1e-12)
+
+
+@needs8
+def test_ssq_sharded_single_psum(rng):
+    # with explicit gamma the ONLY collective is the one Tx psum
+    from jwave_pro_tpu.parallel.sharded import ssq_sharded
+    mesh = make_mesh({"scale": 8})
+    x = rng.standard_normal(256).astype(np.float32)
+    scales = np.asarray(jw.generate_log_scales(1.0, 16.0, 8))
+    txt = jax.jit(lambda v: ssq_sharded(v, scales, mesh=mesh,
+                                        gamma=1e-4).Tx
+                  ).lower(x).compile().as_text()
+    assert txt.count("all-reduce-start") + txt.count("all-reduce(") <= 2
+    for op in ("all-gather", "collective-permute", "all-to-all"):
+        assert op not in txt, op
+
+
+@needs8
+def test_ssq_sharded_rejects_nonuniform_grid(rng):
+    from jwave_pro_tpu.parallel.sharded import ssq_sharded
+    mesh = make_mesh({"scale": 8})
+    with pytest.raises(ValueError, match="log-uniform"):
+        ssq_sharded(rng.standard_normal(256).astype(np.float32),
+                    np.asarray([1., 2., 3., 4., 5., 6., 7., 8.]), mesh=mesh)
