@@ -38,7 +38,7 @@ __all__ = [
     "modwt_sharded", "imodwt_sharded", "cwt_sharded", "cwt_signal_sharded",
     "cwt2_sharded", "wpt_sharded", "iwpt_sharded", "fwt2_sharded",
     "fwt_sharded", "ifwt_sharded", "gather_fwt_layout",
-    "scattering_sharded", "ssq_sharded",
+    "scattering_sharded", "ssq_sharded", "modwt2_sharded", "imodwt2_sharded",
 ]
 
 
@@ -881,3 +881,113 @@ def ssq_sharded(x, scales, wavelet=None, mesh: Mesh | None = None,
                      jnp.asarray(scales_np).astype(rdtype),
                      jnp.asarray(np.arange(n) * dt), sampling_rate,
                      wavelet.name)
+
+
+def _conv_axis_shard(x, f, d, axis_name, axis: int, adjoint=False):
+    """Dilated circular conv along ``axis``; sharded iff axis == -2.
+
+    The last axis is always local (each device holds full rows of its row
+    block); the row axis (−2) is sharded, so its convolution swaps the row
+    axis to the back, rides the 1D halo machinery, and swaps back.
+    """
+    if axis == -1:
+        from ..ops.modwt2d import _conv_last
+        return _conv_last(x, f, d, adjoint)
+    xt = jnp.swapaxes(x, -1, -2)
+    m = f.shape[0]
+    halo = (m - 1) * d
+    if adjoint:
+        ctx = _right_context(xt, halo, axis_name)
+        xe = jnp.concatenate([xt, ctx], axis=-1)
+        base = 0
+    else:
+        ctx = _left_context(xt, halo, axis_name)
+        xe = jnp.concatenate([ctx, xt], axis=-1)
+        base = halo
+    s = xt.shape[-1]
+    acc = None
+    for k in range(m):
+        off = base + (k * d if adjoint else -k * d)
+        seg = lax.slice_in_dim(xe, off, off + s, axis=-1)
+        t = f[k] * seg
+        acc = t if acc is None else acc + t
+    return jnp.swapaxes(acc, -1, -2)
+
+
+def modwt2_sharded(x, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
+                   row_axis: str = "signal", batch_axis: str = "data"):
+    """2D MODWT of a LARGE image with the row axis sharded.
+
+    Each device holds a contiguous block of image rows.  Column-direction
+    convolutions (along the last axis) are purely local; row-direction
+    convolutions exchange ``(M−1)·2^(j−1)`` halo rows with the ring
+    neighbors per level via the same multi-hop ``ppermute`` helper as the
+    1D signal-sharded MODWT.  Band layout identical to
+    :func:`~jwave_pro_tpu.ops.modwt2d.modwt2`.
+    """
+    from ..ops.modwt import _check_level
+
+    x = jnp.asarray(x)
+    _check_level(min(x.shape[-2], x.shape[-1]), level)
+    g64, h64 = modwt_base_filters(wavelet)
+    g = jnp.asarray(g64, dtype=x.dtype)
+    h = jnp.asarray(h64, dtype=x.dtype)
+
+    def body(xl):
+        rows = []
+        ll = xl
+        for j in range(1, level + 1):
+            d = 1 << (j - 1)
+            cl = _conv_axis_shard(ll, g, d, row_axis, -1)
+            ch = _conv_axis_shard(ll, h, d, row_axis, -1)
+            lh = _conv_axis_shard(ch, g, d, row_axis, -2)
+            hl = _conv_axis_shard(cl, h, d, row_axis, -2)
+            hh = _conv_axis_shard(ch, h, d, row_axis, -2)
+            ll = _conv_axis_shard(cl, g, d, row_axis, -2)
+            rows.extend([lh, hl, hh])
+        rows.append(ll)
+        return jnp.stack(rows, axis=0)
+
+    spec = [None] * x.ndim
+    if batch_axis in mesh.axis_names and x.ndim > 2:
+        spec[0] = batch_axis
+    spec[-2] = row_axis
+    in_spec = P(*spec)
+    return shard_map(body, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=P(None, *spec))(x)
+
+
+def imodwt2_sharded(coeffs, wavelet: DiscreteWavelet, mesh: Mesh,
+                    row_axis: str = "signal", batch_axis: str = "data"):
+    """Inverse of :func:`modwt2_sharded` (same row sharding in/out)."""
+    coeffs = jnp.asarray(coeffs)
+    if coeffs.shape[0] % 3 != 1:
+        raise ValueError(
+            f"2D MODWT coefficient stack must have 3·level+1 rows, got "
+            f"{coeffs.shape[0]}")
+    level = (coeffs.shape[0] - 1) // 3
+    g64, h64 = modwt_base_filters(wavelet)
+    g = jnp.asarray(g64, dtype=coeffs.dtype)
+    h = jnp.asarray(h64, dtype=coeffs.dtype)
+
+    def body(cl_):
+        ll = cl_[3 * level]
+        for j in range(level, 0, -1):
+            d = 1 << (j - 1)
+            lh = cl_[3 * (j - 1)]
+            hl = cl_[3 * (j - 1) + 1]
+            hh = cl_[3 * (j - 1) + 2]
+            cl = (_conv_axis_shard(ll, g, d, row_axis, -2, adjoint=True)
+                  + _conv_axis_shard(hl, h, d, row_axis, -2, adjoint=True))
+            ch = (_conv_axis_shard(lh, g, d, row_axis, -2, adjoint=True)
+                  + _conv_axis_shard(hh, h, d, row_axis, -2, adjoint=True))
+            ll = (_conv_axis_shard(cl, g, d, row_axis, -1, adjoint=True)
+                  + _conv_axis_shard(ch, h, d, row_axis, -1, adjoint=True))
+        return ll
+
+    spec = [None] * (coeffs.ndim - 1)
+    if batch_axis in mesh.axis_names and coeffs.ndim > 3:
+        spec[0] = batch_axis
+    spec[-2] = row_axis
+    return shard_map(body, mesh=mesh, in_specs=(P(None, *spec),),
+                     out_specs=P(*spec))(coeffs)

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 __all__ = ["time_chain", "measure_samples_per_sec", "trace"]
 
 
-def time_chain(step, x, k_short=4, k_long=24, repeats=3):
+def time_chain(step, x, k_short=4, k_long=24, repeats=5):
     """Seconds per application of ``step`` (a shape-preserving fn of x).
 
     Times by differencing two chained-iteration lengths inside one jit: the
@@ -23,6 +23,12 @@ def time_chain(step, x, k_short=4, k_long=24, repeats=3):
     ``MODWTFFTPerformanceTest.java:47-152``, would measure dispatch, not
     compute, on an accelerator).  ``lax.fori_loop`` keeps compile cost
     independent of chain length.
+
+    The per-repeat estimate is the difference of two wall timings, so a
+    tunnel stall during the SHORT run drives it toward zero (reporting an
+    impossibly high throughput) — a min-over-repeats estimator latches onto
+    exactly those corrupted repeats.  Robust aggregation instead: median of
+    the positive per-repeat differences.
     """
     def chain(v, k):
         v = jax.lax.fori_loop(0, k, lambda i, u: step(u), v)
@@ -32,7 +38,7 @@ def time_chain(step, x, k_short=4, k_long=24, repeats=3):
     long = jax.jit(lambda v: chain(v, k_long))
     float(short(x))  # compile
     float(long(x))
-    best = float("inf")
+    diffs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         float(short(x))
@@ -40,9 +46,11 @@ def time_chain(step, x, k_short=4, k_long=24, repeats=3):
         t0 = time.perf_counter()
         float(long(x))
         t_l = time.perf_counter() - t0
-        best = min(best, (t_l - t_s) / (k_long - k_short))
-    # timing noise can drive the difference to ~0 for trivial steps
-    return max(best, 1e-9)
+        diffs.append((t_l - t_s) / (k_long - k_short))
+    pos = sorted(d for d in diffs if d > 0)
+    if not pos:  # every repeat corrupted by timing noise
+        return 1e-9
+    return pos[len(pos) // 2]
 
 
 def measure_samples_per_sec(step, x, k_short=4, k_long=24, repeats=3):

@@ -368,3 +368,36 @@ def test_ssq_sharded_rejects_nonuniform_grid(rng):
     with pytest.raises(ValueError, match="log-uniform"):
         ssq_sharded(rng.standard_normal(256).astype(np.float32),
                     np.asarray([1., 2., 3., 4., 5., 6., 7., 8.]), mesh=mesh)
+
+
+@needs8
+def test_modwt2_row_sharded_matches(rng):
+    from jwave_pro_tpu.parallel.sharded import imodwt2_sharded, modwt2_sharded
+    mesh = make_mesh({"signal": 8})
+    x = rng.standard_normal((64, 48))
+    got = np.asarray(modwt2_sharded(x, DB4, 3, mesh))
+    want = np.asarray(jw.modwt2(x, DB4, 3))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    xr = np.asarray(imodwt2_sharded(jw.modwt2(x, DB4, 3), DB4, mesh))
+    np.testing.assert_allclose(xr, x, atol=1e-10)
+
+
+@needs8
+def test_modwt2_row_sharded_batched_2dmesh(rng):
+    from jwave_pro_tpu.parallel.sharded import modwt2_sharded
+    mesh = make_mesh({"data": 2, "signal": 4})
+    xb = rng.standard_normal((2, 32, 16))
+    got = np.asarray(modwt2_sharded(xb, DB4, 2, mesh))
+    want = np.asarray(jw.modwt2(xb, DB4, 2))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@needs8
+def test_modwt2_row_sharded_multihop_halo(rng):
+    # level-3 halo = 7*4 = 28 rows > per-device 8 rows -> multi-hop ring
+    from jwave_pro_tpu.parallel.sharded import modwt2_sharded
+    mesh = make_mesh({"signal": 8})
+    x = rng.standard_normal((64, 32))
+    got = np.asarray(modwt2_sharded(x, DB4, 3, mesh))
+    want = np.asarray(jw.modwt2(x, DB4, 3))
+    np.testing.assert_allclose(got, want, atol=1e-10)
