@@ -51,6 +51,7 @@ from ..wavelets.base import DiscreteWavelet
 __all__ = [
     "CircularBuffer", "UpdateStrategy", "StreamingConfig", "StreamingMODWT",
     "StreamingFWT", "StreamingWPT", "StreamingCWT", "StreamingFFT",
+    "StreamingVariance",
     "modwt_chunked", "streaming_transform", "recommended_buffer_size",
     "save_state", "load_state", "trace_counts",
 ]
@@ -252,7 +253,7 @@ class StreamingMODWT(_StreamingBase):
         if hasattr(self, "_coeffs"):
             self._coeffs = jnp.zeros_like(self._coeffs)
 
-    def update(self, samples):
+    def _update_coeffs(self, samples):
         samples = jnp.asarray(samples, dtype=self.config.dtype)
         s = samples.shape[-1]
         if (self.config.update_strategy is UpdateStrategy.FULL_RECOMPUTE
@@ -264,8 +265,76 @@ class StreamingMODWT(_StreamingBase):
             self.buffer, self._coeffs = _incremental_modwt_step(
                 self.buffer, self._coeffs, samples, wavelet=self.wavelet,
                 level=self.config.max_level, halo=self._halo)
-        self._notify(self._coeffs)
         return self._coeffs
+
+    def update(self, samples):
+        out = self._update_coeffs(samples)
+        self._notify(out)
+        return out
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _var_cum_step(var, count, coeffs, *, s):
+    trace_counts["variance_cum"] += 1
+    t2 = coeffs[:-1, ..., -s:] ** 2
+    tot = count + s
+    return (count * var + jnp.sum(t2, axis=-1)) / tot, tot
+
+
+@functools.partial(jax.jit, static_argnames=("s", "lam"))
+def _var_ewma_step(var, coeffs, *, s, lam):
+    trace_counts["variance_ewma"] += 1
+    t2 = coeffs[:-1, ..., -s:] ** 2
+    w = lam ** jnp.arange(s - 1, -1, -1, dtype=t2.dtype)
+    return (lam ** s) * var + (1.0 - lam) * jnp.sum(t2 * w, axis=-1)
+
+
+@dataclasses.dataclass
+class StreamingVariance(StreamingMODWT):
+    """Rolling per-scale wavelet variance — real-time volatility by horizon.
+
+    Rides the incremental MODWT: each chunk's newly-final coefficient
+    columns (MODWT causality — the newest ``s`` columns never change again)
+    update a per-scale running mean of W_j², so every coefficient is counted
+    exactly once without ever materializing history.  ``halflife=None``
+    (default) gives the cumulative estimator (→ the biased Percival–Walden
+    ν̂²_j as data accumulates); ``halflife`` in samples switches to the
+    exponentially-weighted estimator (weights (1−λ)λᵏ, λ = 2^(−1/halflife))
+    — the RiskMetrics-style tracker that follows volatility-regime changes.
+    Listeners fire with the ``(level,)`` variance vector after each update.
+    The first ``(M−1)(2^L−1)`` samples carry a zero-fill transient.
+    """
+
+    halflife: float | None = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        self._var = jnp.zeros((self.config.max_level,), self.config.dtype)
+        self._count = jnp.zeros((), self.config.dtype)
+
+    def reset(self):
+        super().reset()
+        if hasattr(self, "_var"):
+            self._var = jnp.zeros_like(self._var)
+            self._count = jnp.zeros((), self.config.dtype)
+
+    @property
+    def variance(self):
+        """Current (level,) per-scale variance estimate."""
+        return self._var
+
+    def update(self, samples):
+        samples = jnp.asarray(samples, dtype=self.config.dtype)
+        s = int(samples.shape[-1])
+        coeffs = self._update_coeffs(samples)
+        if self.halflife is None:
+            self._var, self._count = _var_cum_step(self._var, self._count,
+                                                   coeffs, s=s)
+        else:
+            lam = 0.5 ** (1.0 / float(self.halflife))
+            self._var = _var_ewma_step(self._var, coeffs, s=s, lam=lam)
+        self._notify(self._var)
+        return self._var
 
 
 class _WindowedStreaming(_StreamingBase):
@@ -386,6 +455,7 @@ _FACTORY = {
     "modwt": StreamingMODWT,
     "fft": StreamingFFT,
     "cwt": StreamingCWT,
+    "variance": StreamingVariance,
 }
 
 

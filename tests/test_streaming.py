@@ -149,3 +149,52 @@ def test_streaming_cwt_result(rng):
     ref = jw.cwt(np.asarray(s.get_current_buffer()), scales,
                  jw.MorletWavelet()).coefficients
     np.testing.assert_allclose(np.asarray(coeffs), np.asarray(ref), atol=1e-5)
+
+
+def test_streaming_variance_cumulative_converges(rng):
+    # white noise: per-scale wavelet variance is 1/2^j; the cumulative
+    # streaming estimate over many chunks must land near it (the zero-fill
+    # transient washes out)
+    cfg = st.StreamingConfig(buffer_size=512, max_level=3)
+    sv = st.StreamingVariance(jw.wavelet("Daubechies 4"), cfg)
+    got = []
+    sv.add_listener(lambda v: got.append(np.asarray(v)))
+    for k in range(64):
+        sv.update(rng.standard_normal(128))
+    v = np.asarray(sv.variance)
+    truth = 0.5 ** np.arange(1, 4)
+    np.testing.assert_allclose(v, truth, rtol=0.15)
+    assert len(got) == 64 and got[-1].shape == (3,)
+
+
+def test_streaming_variance_ewma_tracks_regime_switch(rng):
+    cfg = st.StreamingConfig(buffer_size=256, max_level=2)
+    sv = st.StreamingVariance(jw.wavelet("Haar"), cfg, halflife=256.0)
+    for _ in range(24):
+        sv.update(rng.standard_normal(128))
+    calm = float(sv.variance[0])
+    for _ in range(24):
+        sv.update(3.0 * rng.standard_normal(128))
+    stressed = float(sv.variance[0])
+    assert 5.0 < stressed / calm < 13.0  # true ratio 9
+
+
+def test_streaming_variance_traces_once(rng):
+    st.trace_counts.clear()
+    cfg = st.StreamingConfig(buffer_size=256, max_level=2)
+    sv = st.StreamingVariance(jw.wavelet("Haar"), cfg)
+    for _ in range(10):
+        sv.update(rng.standard_normal(64))
+    assert st.trace_counts["variance_cum"] == 1
+    assert st.trace_counts["modwt_incremental"] == 1
+
+
+def test_streaming_variance_factory_and_reset(rng):
+    sv = st.streaming_transform("variance", jw.wavelet("Haar"),
+                                st.StreamingConfig(buffer_size=256,
+                                                   max_level=2),
+                                halflife=64.0)
+    sv.update(rng.standard_normal(64))
+    assert float(np.abs(np.asarray(sv.variance)).max()) > 0
+    sv.reset()
+    assert float(np.abs(np.asarray(sv.variance)).max()) == 0.0
