@@ -164,3 +164,58 @@ def test_half_irfft_chunked_parity(rng):
     assert chunked.shape == (3, 8, n)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                atol=1e-5)
+
+
+class TestRidgeExtraction:
+    def test_two_tone_flat_ridges(self, rng):
+        fs = 1024.0
+        t = np.arange(2048) / fs
+        x = (np.sin(2 * np.pi * 60 * t)
+             + 0.6 * np.sin(2 * np.pi * 190 * t)).astype(np.float32)
+        fc = float(jw.MorletWavelet().center_frequency)
+        scales = np.asarray(jw.generate_log_scales(fc / 300, fc / 30, 48))
+        res = jw.ssq_cwt(x, scales, sampling_rate=fs)
+        r = jw.extract_ridges(res.Tx, np.asarray(res.ssq_freqs), n_ridges=2,
+                              mask_width=4)
+        f = np.sort(np.median(np.asarray(r.frequencies), axis=-1))
+        # strongest ridge first; frequencies within one log-bin
+        np.testing.assert_allclose(f, [60.0, 190.0], rtol=0.06)
+        assert np.asarray(r.energy)[0] >= np.asarray(r.energy)[1]
+
+    def test_chirp_tracks_instantaneous_frequency(self, rng):
+        fs = 2048.0
+        n = 4096
+        t = np.arange(n) / fs
+        f0, f1 = 80.0, 320.0
+        phase = 2 * np.pi * (f0 * t + (f1 - f0) * t ** 2 / (2 * t[-1]))
+        x = np.sin(phase).astype(np.float32)
+        fc = float(jw.MorletWavelet().center_frequency)
+        scales = np.asarray(jw.generate_log_scales(fc / 400, fc / 50, 64))
+        res = jw.ssq_cwt(x, scales, sampling_rate=fs)
+        r = jw.extract_ridges(res.Tx, np.asarray(res.ssq_freqs),
+                              penalty=1.0)
+        truth = f0 + (f1 - f0) * t / t[-1]
+        got = np.asarray(r.frequencies)[0]
+        mid = slice(n // 8, -n // 8)  # ignore edge cones
+        med_rel = np.median(np.abs(got[mid] - truth[mid]) / truth[mid])
+        assert med_rel < 0.05, med_rel
+
+    def test_penalty_rigidifies_against_noise(self, rng):
+        fs = 512.0
+        t = np.arange(1024) / fs
+        x = (np.sin(2 * np.pi * 50 * t)
+             + 0.8 * rng.standard_normal(1024)).astype(np.float32)
+        fc = float(jw.MorletWavelet().center_frequency)
+        scales = np.asarray(jw.generate_log_scales(fc / 120, fc / 15, 32))
+        res = jw.ssq_cwt(x, scales, sampling_rate=fs)
+        jumpy = np.asarray(jw.extract_ridges(res.Tx, penalty=0.0).indices[0])
+        smooth = np.asarray(jw.extract_ridges(res.Tx, penalty=8.0).indices[0])
+        assert np.abs(np.diff(smooth)).sum() <= np.abs(np.diff(jumpy)).sum()
+
+    def test_batched_and_jit(self, rng):
+        import jax
+        xb = rng.standard_normal((2, 3, 16, 128)).astype(np.float32)
+        r = jax.jit(lambda p: jw.extract_ridges(p, n_ridges=2).indices)(xb)
+        assert r.shape == (2, 3, 2, 128)
+        with pytest.raises(ValueError):
+            jw.extract_ridges(np.zeros((4, 8)), n_ridges=5)
