@@ -17,7 +17,9 @@ from .wavelets import (
     wavelet_names,
 )
 from .ops import (  # noqa: F401
-    MAX_DECOMPOSITION_LEVEL, analysis_step, basis_coefficients, basis_reconstruct, best_basis,
+    MAX_DECOMPOSITION_LEVEL, analysis_step, basis_coefficients,
+    basis_coefficients2, basis_reconstruct, basis_reconstruct2, best_basis,
+    best_basis2, wpt2_tree,
     circular_convolve, circular_convolve_adjoint, decompose, fwt, fwt2, fwt3,
     ifwt, ifwt2, ifwt3, imodwt, iwpt, iwpt2, iwpt3, log_energy_cost, modwt,
     imodwt2, imodwt3, modwt2, modwt2_mra, modwt3, modwt3_mra,

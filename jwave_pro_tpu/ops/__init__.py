@@ -9,9 +9,10 @@ from .modwt import (
 from .modwt2d import (imodwt2, imodwt3, modwt2, modwt2_mra, modwt3,
                       modwt3_mra)
 from .wpt import (
-    basis_coefficients, basis_reconstruct, best_basis, iwpt, iwpt2, iwpt3,
+    basis_coefficients, basis_coefficients2, basis_reconstruct,
+    basis_reconstruct2, best_basis, best_basis2, iwpt, iwpt2, iwpt3,
     log_energy_cost, shannon_entropy_cost, sure_cost, threshold_cost, wpt,
-    wpt2, wpt3, wpt_tree,
+    wpt2, wpt2_tree, wpt3, wpt_tree,
 )
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "modwt_mra",
     "imodwt2", "modwt2", "modwt2_mra", "imodwt3", "modwt3", "modwt3_mra",
     "basis_coefficients", "basis_reconstruct", "best_basis", "iwpt", "iwpt2",
+    "basis_coefficients2", "basis_reconstruct2", "best_basis2", "wpt2_tree",
     "iwpt3", "log_energy_cost", "shannon_entropy_cost", "sure_cost",
     "threshold_cost", "wpt", "wpt2", "wpt3", "wpt_tree",
 ]

@@ -28,6 +28,7 @@ from .fwt import analysis_step, synthesis_step, _resolve_level
 __all__ = [
     "wpt", "iwpt", "wpt2", "iwpt2", "wpt3", "iwpt3", "wpt_tree",
     "best_basis", "basis_coefficients",
+    "wpt2_tree", "best_basis2", "basis_coefficients2", "basis_reconstruct2",
     "shannon_entropy_cost", "log_energy_cost", "threshold_cost", "sure_cost",
 ]
 
@@ -266,3 +267,144 @@ def basis_coefficients(tree: jax.Array, masks) -> jax.Array:
         sel = jnp.repeat(masks[l], width)  # (N,) True on selected spans
         out = jnp.where(sel, tree[l], out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# 2D best basis (quad-tree Coifman–Wickerhauser)
+# ---------------------------------------------------------------------------
+
+def _step2(x: jax.Array, wavelet: DiscreteWavelet, h_r: int, h_c: int
+           ) -> jax.Array:
+    """One quad-tree level: every (h_r, h_c) packet gets one separable
+    analysis step on both axes (the two axis operators are tensor factors,
+    so order is immaterial)."""
+    lead = x.shape[:-2]
+    r, c = x.shape[-2:]
+    xp = x.reshape(lead + (r // h_r, h_r, c // h_c, h_c))
+    xp = jnp.swapaxes(xp, -3, -2)            # (..., pR, pC, hR, hC)
+    xp = analysis_step(xp, wavelet)          # along hC
+    xp = jnp.swapaxes(xp, -1, -2)
+    xp = analysis_step(xp, wavelet)          # along hR
+    xp = jnp.swapaxes(xp, -1, -2)
+    xp = jnp.swapaxes(xp, -3, -2)
+    return xp.reshape(lead + (r, c))
+
+
+def _synth2(x: jax.Array, wavelet: DiscreteWavelet, h_r: int, h_c: int
+            ) -> jax.Array:
+    """Inverse of :func:`_step2` at packet size (h_r, h_c)."""
+    lead = x.shape[:-2]
+    r, c = x.shape[-2:]
+    xp = x.reshape(lead + (r // h_r, h_r, c // h_c, h_c))
+    xp = jnp.swapaxes(xp, -3, -2)
+    xp = jnp.swapaxes(xp, -1, -2)
+    xp = synthesis_step(xp, wavelet)         # along hR
+    xp = jnp.swapaxes(xp, -1, -2)
+    xp = synthesis_step(xp, wavelet)         # along hC
+    xp = jnp.swapaxes(xp, -3, -2)
+    return xp.reshape(lead + (r, c))
+
+
+def _resolve_level2(r: int, c: int, level, wavelet: DiscreteWavelet) -> int:
+    lv_r = len(_level_widths(r, r.bit_length(), wavelet.transform_wavelength))
+    lv_c = len(_level_widths(c, c.bit_length(), wavelet.transform_wavelength))
+    lv = min(lv_r, lv_c)
+    return lv if level is None else min(int(level), lv)
+
+
+def wpt2_tree(x: jax.Array, wavelet: DiscreteWavelet, level=None
+              ) -> jax.Array:
+    """Full 2D packet quad-tree: shape ``(level+1, ..., R, C)``.
+
+    Row l is the depth-l quad-tree 2D WPT (both axes transformed at equal
+    depth — the standard image best-basis convention).  Packet (l, i, j)
+    occupies the block ``row[l][i·R/2^l:(i+1)·R/2^l, j·C/2^l:(j+1)·C/2^l]``.
+    """
+    x = jnp.asarray(x)
+    r, c = x.shape[-2], x.shape[-1]
+    check_power_of_two(r)
+    check_power_of_two(c)
+    level = _resolve_level2(r, c, level, wavelet)
+    rows = [x]
+    for l in range(level):
+        rows.append(_step2(rows[-1], wavelet, r >> l, c >> l))
+    return jnp.stack(rows, axis=0)
+
+
+def best_basis2(x: jax.Array, wavelet: DiscreteWavelet, level=None,
+                cost: str = "shannon"):
+    """Quad-tree Coifman–Wickerhauser best basis for images.
+
+    Returns ``(masks, total_cost, tree)``: ``masks[l]`` is a boolean
+    ``(2^l, 2^l)`` grid — True where packet (l, i, j) is a leaf of the
+    optimal basis; ``tree`` the :func:`wpt2_tree` array.  Batched input
+    selects one basis for the whole batch (costs summed over leading axes).
+    """
+    x = jnp.asarray(x)
+    r, c = x.shape[-2], x.shape[-1]
+    level = _resolve_level2(r, c, level, wavelet)
+    cost_fn = _COSTS[cost] if isinstance(cost, str) else cost
+    tree = wpt2_tree(x, wavelet, level)
+
+    costs = []
+    for l in range(level + 1):
+        hr, hc = r >> l, c >> l
+        row = tree[l].reshape((-1, 1 << l, hr, 1 << l, hc))
+        blocks = jnp.swapaxes(row, -3, -2)       # (batch, 2^l, 2^l, hr, hc)
+        flat = blocks.reshape(blocks.shape[:-2] + (hr * hc,))
+        costs.append(jnp.sum(cost_fn(flat, axis=-1), axis=0))  # (2^l, 2^l)
+
+    best = costs[level]
+    split = []
+    for l in range(level - 1, -1, -1):
+        p = 1 << l
+        quads = best.reshape((p, 2, p, 2))
+        children = quads.sum(axis=(1, 3))
+        take = children < costs[l]
+        split.append(take)
+        best = jnp.where(take, children, costs[l])
+    split.reverse()
+
+    masks = []
+    reach = jnp.ones((1, 1), dtype=bool)
+    for l in range(level + 1):
+        if l < level:
+            leaf = reach & ~split[l]
+            nxt = reach & split[l]
+            reach = jnp.repeat(jnp.repeat(nxt, 2, axis=0), 2, axis=1)
+        else:
+            leaf = reach
+        masks.append(leaf)
+    return masks, best[0, 0], tree
+
+
+def _mask_to_pixels2(mask: jax.Array, r: int, c: int) -> jax.Array:
+    p = mask.shape[0]
+    return jnp.repeat(jnp.repeat(mask, r // p, axis=0), c // p, axis=1)
+
+
+def basis_coefficients2(tree: jax.Array, masks) -> jax.Array:
+    """Flatten a 2D best-basis selection into one (..., R, C) array."""
+    level = len(masks) - 1
+    r, c = tree.shape[-2], tree.shape[-1]
+    out = jnp.zeros_like(tree[0])
+    for l in range(level + 1):
+        sel = _mask_to_pixels2(masks[l], r, c)
+        out = jnp.where(sel, tree[l], out)
+    return out
+
+
+def basis_reconstruct2(flat: jax.Array, masks, wavelet: DiscreteWavelet
+                       ) -> jax.Array:
+    """Reconstruct the image from a 2D best-basis coefficient array."""
+    flat = jnp.asarray(flat)
+    r, c = flat.shape[-2], flat.shape[-1]
+    level = len(masks) - 1
+    cur = flat
+    for l in range(level, 0, -1):
+        active = jnp.zeros((r, c), dtype=bool)
+        for lp in range(l, level + 1):
+            active = active | _mask_to_pixels2(masks[lp], r, c)
+        syn = _synth2(cur, wavelet, r >> (l - 1), c >> (l - 1))
+        cur = jnp.where(active, syn, cur)
+    return cur

@@ -160,3 +160,58 @@ def test_wpt3_roundtrip_and_facade(rng):
     # full-depth default levels also roundtrip
     y2 = jw.wpt3(s, HAAR)
     np.testing.assert_allclose(np.asarray(jw.iwpt3(y2, HAAR)), s, atol=1e-8)
+
+
+def test_wpt2_tree_quadtree_layout(rng):
+    # row 1 of the quad tree == one separable step at full size == wpt2 with
+    # level 1 on both axes
+    img = rng.standard_normal((16, 32))
+    tree = np.asarray(jw.wpt2_tree(img, HAAR, 2))
+    assert tree.shape == (3, 16, 32)
+    np.testing.assert_allclose(tree[1],
+                               np.asarray(jw.wpt2(img, HAAR, 1, 1)),
+                               atol=1e-12)
+    # energy preserved per row (orthonormal steps)
+    for l in range(3):
+        np.testing.assert_allclose(np.sum(tree[l] ** 2), np.sum(img ** 2),
+                                   rtol=1e-10)
+
+
+def test_best_basis2_impulse_keeps_root(rng):
+    img = np.zeros((16, 16))
+    img[3, 7] = 1.0  # maximally concentrated at level 0
+    masks, cost, _ = jw.best_basis2(img, HAAR, 3)
+    assert bool(masks[0][0, 0]) and float(cost) <= 1e-9
+
+
+def test_best_basis2_oscillation_prefers_depth(rng):
+    # a pure high-frequency checkerboard concentrates only at depth ≥ 1:
+    # the root must split
+    r = np.indices((16, 16)).sum(axis=0)
+    img = ((-1.0) ** r).astype(float)
+    masks, _, _ = jw.best_basis2(img, HAAR, 3)
+    assert not bool(masks[0][0, 0])
+
+
+def test_basis2_flatten_reconstruct_roundtrip(rng):
+    img = rng.standard_normal((32, 32))
+    for wname in ("Haar", "Daubechies 4"):
+        w = jw.wavelet(wname)
+        masks, _, tree = jw.best_basis2(img, w, 3)
+        flat = jw.basis_coefficients2(tree, masks)
+        # any orthonormal mixed basis preserves energy
+        np.testing.assert_allclose(np.sum(np.asarray(flat) ** 2),
+                                   np.sum(img ** 2), rtol=1e-8)
+        xr = np.asarray(jw.basis_reconstruct2(flat, masks, w))
+        np.testing.assert_allclose(xr, img, atol=1e-8, err_msg=wname)
+
+
+def test_basis2_masks_tile_plane(rng):
+    img = rng.standard_normal((32, 16))
+    masks, _, _ = jw.best_basis2(img, DB4, 2)
+    cover = np.zeros((32, 16))
+    for l, m in enumerate(masks):
+        p = 1 << l
+        cover += np.kron(np.asarray(m, dtype=float),
+                         np.ones((32 // p, 16 // p)))
+    np.testing.assert_allclose(cover, 1.0)  # exact tiling, no overlap
