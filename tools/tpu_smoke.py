@@ -94,6 +94,49 @@ def main():
         - jnp.real(jw.cwt2(v.astype(jnp.complex64), s2).coefficients))))(img))
     ok &= check("cwt2 real path ≡ complex path", err, 1e-5)
 
+    # ssq: bin sums equal the icwt scale sum (the inverse-weighted
+    # reassignment identity Σ_l Tx[l] ≡ Σ_a w_a·W[a]) on device.
+    fc = float(jw.MorletWavelet().center_frequency)
+    sq_scales = tuple(float(s) for s in np.asarray(
+        jw.generate_log_scales(fc / 200.0, fc / 20.0, 16)))
+    from jwave_pro_tpu.ops.cwt import _icwt_weights
+
+    wts = jnp.asarray(_icwt_weights(np.asarray(sq_scales)), jnp.float32)
+
+    def ssq_identity(v):
+        r = jw.ssq_cwt(v, sq_scales, sampling_rate=512.0, gamma=0.0)
+        lhs = jnp.sum(r.Tx, axis=-2)
+        rhs = jnp.sum(wts[:, None] * r.Wx, axis=-2)
+        # positive-instantaneous-frequency coefficients only are reassigned;
+        # compare where the identity applies: total magnitude difference
+        return jnp.max(jnp.abs(lhs - rhs)) / jnp.max(jnp.abs(rhs))
+    t = np.arange(2048) / 512.0
+    tone = jnp.asarray(np.sin(2 * np.pi * 40 * t), jnp.float32)
+    err = float(jax.jit(ssq_identity)(tone))
+    ok &= check("ssq reassignment sum identity", err, 5e-2)
+
+    # ridge extraction finds the 40 Hz tone on device
+    def ridge_err(v):
+        r = jw.ssq_cwt(v, sq_scales, sampling_rate=512.0)
+        rid = jw.extract_ridges(r.Tx, r.ssq_freqs)
+        mid = rid.frequencies[0, 256:-256]
+        return jnp.max(jnp.abs(mid - 40.0) / 40.0)
+    err = float(jax.jit(ridge_err)(tone))
+    ok &= check("ridge tracks 40 Hz tone", err, 0.08)
+
+    # 3D MODWT roundtrip on device
+    vol = x[:4, :4096].reshape(4, 16, 16, 16)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.imodwt3(jw.modwt3(v, w, 2), w) - v)))(vol))
+    ok &= check("modwt3 roundtrip", err, 1e-4)
+
+    # streaming variance kernel parity is CPU-tested; on device just check
+    # the fused variance against the unbiased XLA estimator's biased twin
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.modwt_variance(v, w, 4, method="fused")
+        - jw.modwt_variance(v, w, 4, method="direct"))))(x))
+    ok &= check("fused variance ≡ xla variance", err, 1e-4)
+
     print("TPU smoke:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
