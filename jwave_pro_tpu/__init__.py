@@ -61,7 +61,7 @@ from .ops.compress import (  # noqa: F401
     compression_rate,
 )
 from .ops.denoise import (  # noqa: F401
-    bayes_threshold, hard_threshold, mad_sigma, modwt_denoise,
+    bayes_threshold, hard_threshold, mad_sigma, modwt2_denoise, modwt_denoise,
     modwt_denoise_inplace, soft_threshold, sure_threshold,
     universal_threshold,
 )

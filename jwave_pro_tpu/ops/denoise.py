@@ -21,6 +21,7 @@ __all__ = [
     "soft_threshold", "hard_threshold", "universal_threshold",
     "sure_threshold", "bayes_threshold",
     "mad_sigma", "modwt_denoise", "modwt_denoise_inplace",
+    "modwt2_denoise",
 ]
 
 
@@ -177,3 +178,43 @@ def modwt_denoise_inplace(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     executable.
     """
     return modwt_denoise(x, wavelet, level, mode=mode, method=method)
+
+
+def modwt2_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+                   mode: str = "soft", threshold=None) -> jax.Array:
+    """Image denoising via the 2D MODWT (undecimated, shift-invariant).
+
+    The 2D extension of :func:`modwt_denoise` (``MODWTExample.java:125-172``
+    pipeline): shrink every detail band (LH/HL/HH per level), keep LL,
+    invert.  σ is estimated from the finest diagonal band HH₁ — the
+    standard image-denoising convention (Donoho–Johnstone: HH₁ is almost
+    pure noise) — and ``threshold`` defaults to the universal threshold
+    σ·√(2·ln(R·C)); the strings ``'universal'``, ``'sure'``, ``'bayes'``
+    select the rule applied per band, an array is used as-is.
+    """
+    from .modwt2d import imodwt2, modwt2
+
+    x = jnp.asarray(x)
+    c = modwt2(x, wavelet, level)          # (3L+1, ..., R, C)
+    n_bands = 3 * level
+    r, ccols = x.shape[-2], x.shape[-1]
+    flat = c[:n_bands].reshape((n_bands,) + c.shape[1:-2] + (-1,))
+    if threshold is None or isinstance(threshold, str):
+        kind = threshold or "universal"
+        hh1 = c[2].reshape(c.shape[1:-2] + (-1,))   # finest diagonal band
+        if kind == "universal":
+            sigma = mad_sigma(hh1)
+            threshold = (sigma * jnp.sqrt(2.0 * jnp.log(float(r * ccols)))
+                         )[..., None, None]
+        elif kind == "sure":
+            threshold = sure_threshold(flat, mad_sigma(hh1)
+                                       )[..., None, None]
+        elif kind == "bayes":
+            threshold = bayes_threshold(flat, mad_sigma(hh1)
+                                        )[..., None, None]
+        else:
+            raise ValueError(f"unknown threshold rule {threshold!r}")
+    shrink = soft_threshold if mode == "soft" else hard_threshold
+    details = shrink(c[:n_bands], threshold)
+    c = jnp.concatenate([details, c[n_bands:]], axis=0)
+    return imodwt2(c, wavelet)

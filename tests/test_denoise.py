@@ -107,3 +107,22 @@ def test_modwt_denoise_per_level_thresholds_differ_from_scalar():
     out_u = np.asarray(jw.modwt_denoise(x, DB4, 4, threshold="universal"))
     out_b = np.asarray(jw.modwt_denoise(x, DB4, 4, threshold="bayes"))
     assert not np.allclose(out_u, out_b)
+
+
+def test_modwt2_denoise_improves_image(rng):
+    xg, yg = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    clean = np.sin(xg / 6.0) * np.cos(yg / 9.0)
+    noisy = clean + 0.35 * rng.standard_normal((64, 64))
+    for rule in (None, "sure", "bayes"):
+        den = np.asarray(jw.modwt2_denoise(noisy, DB4, 3, threshold=rule))
+        mse_n = np.mean((noisy - clean) ** 2)
+        mse_d = np.mean((den - clean) ** 2)
+        assert mse_d < 0.5 * mse_n, (rule, mse_d, mse_n)
+
+
+def test_modwt2_denoise_batched_and_zero_threshold_identity(rng):
+    imgs = rng.standard_normal((2, 32, 32))
+    out = np.asarray(jw.modwt2_denoise(imgs, DB4, 2, threshold=0.0))
+    np.testing.assert_allclose(out, imgs, atol=1e-8)  # PR with no shrink
+    with np.testing.assert_raises(ValueError):
+        jw.modwt2_denoise(imgs, DB4, 2, threshold="bogus")
