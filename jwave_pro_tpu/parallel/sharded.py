@@ -38,7 +38,8 @@ __all__ = [
     "modwt_sharded", "imodwt_sharded", "cwt_sharded", "cwt_signal_sharded",
     "cwt2_sharded", "wpt_sharded", "iwpt_sharded", "fwt2_sharded",
     "fwt_sharded", "ifwt_sharded", "gather_fwt_layout",
-    "scattering_sharded", "ssq_sharded", "modwt2_sharded", "imodwt2_sharded",
+    "scattering_sharded", "scattering2d_sharded", "ssq_sharded",
+    "modwt2_sharded", "imodwt2_sharded",
 ]
 
 
@@ -991,3 +992,98 @@ def imodwt2_sharded(coeffs, wavelet: DiscreteWavelet, mesh: Mesh,
     spec[-2] = row_axis
     return shard_map(body, mesh=mesh, in_specs=(P(None, *spec),),
                      out_specs=P(*spec))(coeffs)
+
+
+def scattering2d_sharded(x, j: int, l: int = 8, order: int = 2,
+                         mesh: Mesh | None = None,
+                         scale_axis: str = "scale",
+                         batch_axis: str = "data",
+                         subsample: int | None = None, slant: float = 0.5):
+    """2D wavelet scattering with the first-order (j₁, θ₁) path axis sharded.
+
+    The image analog of :func:`scattering_sharded`: every second-order path
+    (j₁θ₁ → j₂θ₂) reads exactly one first-order envelope, so distributing
+    the J·L first-order paths makes the entire second order local.  Shard
+    path lists are padded to the max with zero-ψ rows (padded outputs are
+    exactly zero); ``pairs`` marks padding rows with ``i1 = −1`` — filter
+    with ``pairs[:, 0] >= 0`` to recover the unsharded path order.  The
+    shard_map body contains no collectives.
+    """
+    import numpy as np
+
+    from ..ops.scattering2d import (
+        Scattering2DResult, _lowpass_subsample2, _pair_table2d,
+        scattering2d_filters)
+
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("scattering2d_sharded expects a real image")
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(jnp.float32)
+    h, w = x.shape[-2], x.shape[-1]
+    t = (1 << j) if subsample is None else subsample
+    if t < 1 or h % t or w % t:
+        raise ValueError(f"subsample stride {t} must divide H={h} and W={w}")
+    if order not in (1, 2):
+        raise ValueError("order must be 1 or 2")
+    n_dev = mesh.shape[scale_axis]
+    psi_np, phi_np, meta1 = scattering2d_filters(h, w, j, l, slant)
+    l1 = psi_np.shape[0]
+    if l1 % n_dev:
+        raise ValueError(f"first-order path count J·L = {l1} not divisible "
+                         f"by mesh axis {scale_axis}={n_dev}")
+    loc = l1 // n_dev
+    rdt = jnp.result_type(x.dtype, jnp.float32)
+
+    i1, j2, t2 = _pair_table2d(j, l)
+    per = [np.nonzero((i1 >= d * loc) & (i1 < (d + 1) * loc))[0]
+           for d in range(n_dev)]
+    pmax = max((len(p) for p in per), default=0)
+    psi2_pad = np.zeros((n_dev, max(pmax, 1), h, w))
+    i1_rel = np.zeros((n_dev, max(pmax, 1)), dtype=np.int32)
+    pairs = np.full((n_dev, max(pmax, 1), 3), -1, dtype=np.int64)
+    for d, idx in enumerate(per):
+        psi2_pad[d, :len(idx)] = psi_np[j2[idx] * l + t2[idx]]
+        i1_rel[d, :len(idx)] = i1[idx] - d * loc
+        pairs[d, :len(idx)] = np.stack([i1[idx], j2[idx], t2[idx]], axis=-1)
+
+    phi = jnp.asarray(phi_np, dtype=rdt)
+    want2 = order == 2 and i1.size > 0
+
+    def body(xl, psi1_l, psi2_l, i1rel_l):
+        xhat = jnp.fft.fft2(xl, axes=(-2, -1))
+        s0 = _lowpass_subsample2(xhat, phi, t)
+        u1 = jnp.abs(jnp.fft.ifft2(xhat[..., None, :, :] * psi1_l,
+                                   axes=(-2, -1)))
+        u1hat = jnp.fft.fft2(u1, axes=(-2, -1))
+        s1 = _lowpass_subsample2(u1hat, phi, t)
+        if not want2:
+            return s0, s1
+        u2hat = jnp.take(u1hat, i1rel_l[0], axis=-3) * psi2_l[0]
+        u2 = jnp.abs(jnp.fft.ifft2(u2hat, axes=(-2, -1)))
+        s2 = _lowpass_subsample2(jnp.fft.fft2(u2, axes=(-2, -1)), phi, t)
+        return s0, s1, s2
+
+    bspec = [None] * x.ndim
+    if batch_axis in mesh.axis_names and x.ndim > 2:
+        bspec[0] = batch_axis
+    lead = tuple(bspec[:-2])
+    out_specs = (P(*bspec), P(*lead, scale_axis, None, None))
+    in_specs = (P(*bspec), P(scale_axis, None, None),
+                P(scale_axis, None, None, None), P(scale_axis, None))
+    if want2:
+        out_specs = out_specs + (P(*lead, scale_axis, None, None),)
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    out = fn(x, jnp.asarray(psi_np, dtype=rdt),
+             jnp.asarray(psi2_pad, dtype=rdt), jnp.asarray(i1_rel))
+    if want2:
+        s0, s1, s2 = out
+        pairs_out = pairs.reshape(-1, 3)
+    else:
+        s0, s1 = out
+        s2 = (None if order == 1
+              else jnp.zeros((*x.shape[:-2], 0, h // t, w // t),
+                             dtype=s1.dtype))
+        pairs_out = np.zeros((0, 3), dtype=np.int64)
+    return Scattering2DResult(s0=s0, s1=s1, s2=s2, meta1=meta1,
+                              pairs=pairs_out)

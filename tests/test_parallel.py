@@ -401,3 +401,26 @@ def test_modwt2_row_sharded_multihop_halo(rng):
     got = np.asarray(modwt2_sharded(x, DB4, 3, mesh))
     want = np.asarray(jw.modwt2(x, DB4, 3))
     np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@needs8
+def test_scattering2d_path_sharded_matches(rng):
+    from jwave_pro_tpu.parallel.sharded import scattering2d_sharded
+    mesh = make_mesh({"scale": 8})
+    img = rng.standard_normal((32, 32)).astype(np.float32)
+    want = jw.scattering2d(img, j=2, l=4)          # J·L = 8 paths
+    got = scattering2d_sharded(img, j=2, l=4, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got.s0), np.asarray(want.s0),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.s1), np.asarray(want.s1),
+                               atol=1e-5)
+    keep = got.pairs[:, 0] >= 0
+    np.testing.assert_allclose(np.asarray(got.s2)[keep],
+                               np.asarray(want.s2), atol=1e-5)
+    np.testing.assert_allclose(got.pairs[keep], want.pairs, atol=0)
+    assert np.all(np.asarray(got.s2)[~keep] == 0.0)
+    # zero collectives in the compiled HLO
+    txt = jax.jit(lambda v: scattering2d_sharded(v, j=2, l=4, mesh=mesh).s2
+                  ).lower(img).compile().as_text()
+    bad = [c for c in _COLLECTIVES if c in txt]
+    assert not bad, bad
