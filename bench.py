@@ -176,6 +176,47 @@ def bench_denoise(batch=32, n=1 << 20, level=5, method="fused"):
     return batch * n / dt
 
 
+def bench_scattering(batch=8, n=65536, j=8, q=8):
+    """1D scattering (order 2): input samples/s through the full cascade."""
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    jnp.float32)
+
+    def step(v):
+        r = jw.scattering1d(v, j=j, q=q)
+        # feed a full-rank reduction back at input length (shape-preserving)
+        mix = (jnp.sum(r.s1, axis=-2) + jnp.sum(r.s2, axis=-2)
+               + r.s0)  # (..., N/T)
+        return v + 1e-30 * jnp.repeat(mix, 1 << j, axis=-1)
+
+    return batch * n / _time_chain(step, x)
+
+
+def bench_ssq(batch=4, n=4096, n_scales=32):
+    """Synchrosqueezed CWT: input samples/s (W, ∂W, reassignment, Tx)."""
+    wav = jw.MorletWavelet()
+    fc = float(wav.center_frequency)
+    scales = jw.generate_log_scales(fc / 0.4, fc / 0.01, n_scales)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    jnp.float32)
+
+    def step(v):
+        r = jw.ssq_cwt(v, scales, wavelet=wav, gamma=1e-4)
+        return v + 1e-30 * (jnp.sum(jnp.real(r.Tx), axis=-2)
+                            + jnp.sum(jnp.imag(r.Tx), axis=-2))
+
+    return batch * n / _time_chain(step, x)
+
+
+def bench_modwt2_denoise(batch=8, n=512, level=3):
+    """2D image denoise (undecimated): pixels/s."""
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n)),
+                    jnp.float32)
+    dt = _time_chain(lambda v: jw.modwt2_denoise(v, w, level, threshold=0.8),
+                     x)
+    return batch * n * n / dt
+
+
 def main():
     results = {}
     results["modwt_db4_L5"] = bench_modwt()
@@ -212,6 +253,9 @@ def main():
         run("cwt_morlet_64scales", bench_cwt)
         run("cwt_mexhat_64scales",
             lambda: bench_cwt(wavelet=jw.MexicanHatWavelet()))
+        run("scattering1d_j8q8", bench_scattering)
+        run("ssq_morlet_32scales", bench_ssq)
+        run("modwt2_denoise_512", bench_modwt2_denoise)
     value = results["modwt_db4_L5"]
     print(json.dumps({
         "metric": "modwt_db4_level5_samples_per_sec_per_chip",

@@ -154,23 +154,40 @@ def _ssq_reassign(xp, n, mults, weights, log_lo, dlog, n_freqs, gamma,
 
     w_coef = jax.lax.complex(w_re, w_im)
 
-    # Reassignment: scan over scales, one-hot scatter into the bin axis.
+    # Reassignment: one-hot scatter into the bin axis, vectorized over
+    # scale BLOCKS.  A per-scale scan (the r2.0 version) serializes S steps
+    # of tiny (N, L) panels and measured scan-bound (0.014 G inputs/s at
+    # S=32); blocking lets the whole (K, N, L) one-hot product run as one
+    # fused batched reduction per step while capping the intermediate at
+    # ~64 MB.  K = S when it fits → a single fully-parallel step.
     contrib = jnp.where(valid, w_coef, 0) * jnp.asarray(
         weights, dtype=rdtype)[:, None]  # broadcasting over (..., S, N)
-    scan_c = jnp.moveaxis(contrib, -2, 0)  # (S, ..., N)
-    scan_i = jnp.moveaxis(idx, -2, 0)
+    blk = max(1, min(s_count, int((64 << 20) // max(
+        1, batch_elems * n * n_freqs * np.dtype(rdtype).itemsize))))
+    groups = -(-s_count // blk)
+    pad = groups * blk - s_count
+    if pad:
+        contrib = jnp.concatenate(
+            [contrib, jnp.zeros(contrib.shape[:-2] + (pad, n),
+                                contrib.dtype)], axis=-2)
+        idx = jnp.concatenate(
+            [idx, jnp.zeros(idx.shape[:-2] + (pad, n), idx.dtype)], axis=-2)
+    # (..., G, K, N) → scan over G (1 step when everything fits)
+    shp = contrib.shape[:-2] + (groups, blk, n)
+    scan_c = jnp.moveaxis(contrib.reshape(shp), -3, 0)
+    scan_i = jnp.moveaxis(idx.reshape(shp), -3, 0)
 
     def body(acc, si):
-        c_k, i_k = si
+        c_k, i_k = si  # (..., K, N)
         onehot = jax.nn.one_hot(i_k, n_freqs, dtype=rdtype,
-                                axis=-1)  # (..., N, L)
-        return acc + c_k[..., :, None] * onehot, None
+                                axis=-1)  # (..., K, N, L)
+        return acc + jnp.sum(c_k[..., None] * onehot, axis=-3), None
 
     acc0 = jnp.zeros(xp.shape[:-1] + (n, n_freqs), dtype=cdtype)
     # shard_map VMA check: the scan carry must be varying over the same
     # manual mesh axes as the scanned operands; deriving the zero init from
     # an operand inherits exactly those (a no-op XLA folds away).
-    acc0 = acc0 + 0.0 * scan_c[0][..., :, None]
+    acc0 = acc0 + 0.0 * scan_c[0][..., 0, :, None]
     tx_nl, _ = lax.scan(body, acc0, (scan_c, scan_i))
     tx = jnp.moveaxis(tx_nl, -1, -2)  # (..., L, N)
     if axis_name is not None:
