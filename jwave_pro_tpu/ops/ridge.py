@@ -29,8 +29,6 @@ from __future__ import annotations
 import functools
 import typing
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -131,6 +129,11 @@ def extract_ridges(plane, axis_values=None, n_ridges: int = 1,
         raise ValueError("plane must have shape (..., bins, time)")
     if not 1 <= int(n_ridges) <= plane.shape[-2]:
         raise ValueError(f"n_ridges must be in [1, {plane.shape[-2]}]")
+    if (int(n_ridges) - 1) * (2 * int(mask_width) + 1) >= plane.shape[-2]:
+        raise ValueError(
+            f"n_ridges={n_ridges} with mask_width={mask_width} can mask all "
+            f"{plane.shape[-2]} bins before the last ridge is extracted; "
+            f"reduce one of them")
     idx, energy = _extract_impl(u, int(n_ridges), float(penalty),
                                 int(mask_width))
     if axis_values is not None:

@@ -309,7 +309,14 @@ def _resolve_level2(r: int, c: int, level, wavelet: DiscreteWavelet) -> int:
     lv_r = len(_level_widths(r, r.bit_length(), wavelet.transform_wavelength))
     lv_c = len(_level_widths(c, c.bit_length(), wavelet.transform_wavelength))
     lv = min(lv_r, lv_c)
-    return lv if level is None else min(int(level), lv)
+    if level is None:
+        return lv
+    level = int(level)
+    if not 1 <= level <= lv:
+        raise ValueError(
+            f"level {level} out of range [1, {lv}] for shape ({r}, {c}) "
+            f"with {wavelet.name}")
+    return level
 
 
 def wpt2_tree(x: jax.Array, wavelet: DiscreteWavelet, level=None

@@ -83,35 +83,37 @@ def _right_context(x_shard, halo: int, axis_name: str):
     return jnp.concatenate(pieces, axis=-1)[..., :halo]
 
 
-def _dilated_conv_shard(v, g, h, d, axis_name, adjoint=False, w=None):
-    """One sharded MODWT level: local conv + halo exchange.
+def _halo_conv(x, f, d, axis_name, adjoint=False):
+    """Dilated circular conv along the sharded LAST axis: local slices +
+    ring halo exchange.
 
     Forward: y[n] = Σ_k f[k]·x[n − k·d] (needs left context);
     adjoint:  y[n] = Σ_k f[k]·x[n + k·d] (right context).
     """
-    m = g.shape[0]
+    m = f.shape[0]
     halo = (m - 1) * d
+    if adjoint:
+        ctx = _right_context(x, halo, axis_name)
+        xe = jnp.concatenate([x, ctx], axis=-1)
+        base = 0
+    else:
+        ctx = _left_context(x, halo, axis_name)
+        xe = jnp.concatenate([ctx, x], axis=-1)
+        base = halo
+    s = x.shape[-1]
+    acc = None
+    for k in range(m):
+        off = base + (k * d if adjoint else -k * d)
+        seg = lax.slice_in_dim(xe, off, off + s, axis=-1)
+        t = f[k] * seg
+        acc = t if acc is None else acc + t
+    return acc
 
-    def apply(x, f):
-        if adjoint:
-            ctx = _right_context(x, halo, axis_name)
-            xe = jnp.concatenate([x, ctx], axis=-1)
-            base = 0
-        else:
-            ctx = _left_context(x, halo, axis_name)
-            xe = jnp.concatenate([ctx, x], axis=-1)
-            base = halo
-        s = x.shape[-1]
-        acc = None
-        for k in range(m):
-            off = base + (k * d if adjoint else -k * d)
-            seg = lax.slice_in_dim(xe, off, off + s, axis=-1)
-            t = f[k] * seg
-            acc = t if acc is None else acc + t
-        return acc
 
-    out_v = apply(v, g)
-    out_w = apply(v if w is None else w, h)
+def _dilated_conv_shard(v, g, h, d, axis_name, adjoint=False, w=None):
+    """One sharded MODWT level: the (g, h) filter pair via :func:`_halo_conv`."""
+    out_v = _halo_conv(v, g, d, axis_name, adjoint)
+    out_w = _halo_conv(v if w is None else w, h, d, axis_name, adjoint)
     return out_v, out_w
 
 
@@ -722,6 +724,9 @@ def scattering_sharded(x, j: int, q: int = 8, order: int = 2,
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise ValueError("scattering_sharded expects a real signal")
+    if mesh is None:
+        raise ValueError("scattering_sharded requires a mesh "
+                         "(use ops.scattering.scattering1d single-device)")
     n = x.shape[-1]
     t = (1 << j) if subsample is None else subsample
     if t < 1 or n % t:
@@ -826,6 +831,9 @@ def ssq_sharded(x, scales, wavelet=None, mesh: Mesh | None = None,
         x = x.astype(jnp.float32)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise ValueError("ssq_sharded expects a real signal")
+    if mesh is None:
+        raise ValueError("ssq_sharded requires a mesh "
+                         "(use ops.ssq.ssq_cwt single-device)")
     scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
     if np.any(scales_np <= 0):
         raise ValueError("Scales must be positive")
@@ -842,6 +850,8 @@ def ssq_sharded(x, scales, wavelet=None, mesh: Mesh | None = None,
     padded_n = next_power_of_two(n)
     if n_freqs is None:
         n_freqs = s_count
+    if n_freqs < 2:
+        raise ValueError("need at least 2 frequency bins")
     fc = float(wavelet.center_frequency)
     if freq_range is None:
         f_lo, f_hi = fc / float(scales_np.max()), fc / float(scales_np.min())
@@ -889,30 +899,13 @@ def _conv_axis_shard(x, f, d, axis_name, axis: int, adjoint=False):
 
     The last axis is always local (each device holds full rows of its row
     block); the row axis (−2) is sharded, so its convolution swaps the row
-    axis to the back, rides the 1D halo machinery, and swaps back.
+    axis to the back, rides :func:`_halo_conv`, and swaps back.
     """
     if axis == -1:
         from ..ops.modwt2d import _conv_last
         return _conv_last(x, f, d, adjoint)
     xt = jnp.swapaxes(x, -1, -2)
-    m = f.shape[0]
-    halo = (m - 1) * d
-    if adjoint:
-        ctx = _right_context(xt, halo, axis_name)
-        xe = jnp.concatenate([xt, ctx], axis=-1)
-        base = 0
-    else:
-        ctx = _left_context(xt, halo, axis_name)
-        xe = jnp.concatenate([ctx, xt], axis=-1)
-        base = halo
-    s = xt.shape[-1]
-    acc = None
-    for k in range(m):
-        off = base + (k * d if adjoint else -k * d)
-        seg = lax.slice_in_dim(xe, off, off + s, axis=-1)
-        t = f[k] * seg
-        acc = t if acc is None else acc + t
-    return jnp.swapaxes(acc, -1, -2)
+    return jnp.swapaxes(_halo_conv(xt, f, d, axis_name, adjoint), -1, -2)
 
 
 def modwt2_sharded(x, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
@@ -926,11 +919,16 @@ def modwt2_sharded(x, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
     1D signal-sharded MODWT.  Band layout identical to
     :func:`~jwave_pro_tpu.ops.modwt2d.modwt2`.
     """
-    from ..ops.modwt import _check_level
+    from ..ops.modwt2d import _check_nd
 
     x = jnp.asarray(x)
-    _check_level(min(x.shape[-2], x.shape[-1]), level)
+    _check_nd(x.shape[-2:], level)
     g64, h64 = modwt_base_filters(wavelet)
+    max_halo = (g64.shape[0] - 1) * (1 << (level - 1))
+    if max_halo > x.shape[-2]:
+        raise ValueError(
+            f"level-{level} halo ({max_halo} rows) exceeds the image height "
+            f"{x.shape[-2]}")
     g = jnp.asarray(g64, dtype=x.dtype)
     h = jnp.asarray(h64, dtype=x.dtype)
 
@@ -1018,6 +1016,9 @@ def scattering2d_sharded(x, j: int, l: int = 8, order: int = 2,
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise ValueError("scattering2d_sharded expects a real image")
+    if mesh is None:
+        raise ValueError("scattering2d_sharded requires a mesh "
+                         "(use ops.scattering2d.scattering2d single-device)")
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(jnp.float32)
     h, w = x.shape[-2], x.shape[-1]

@@ -326,6 +326,14 @@ class StreamingVariance(StreamingMODWT):
     def update(self, samples):
         samples = jnp.asarray(samples, dtype=self.config.dtype)
         s = int(samples.shape[-1])
+        if s + self._halo > self.config.buffer_size:
+            # the full-recompute fallback would wrap-contaminate (and for
+            # s > buffer_size truncate) the "newest s columns" this
+            # estimator counts — corrupting the running statistic silently
+            raise ValueError(
+                f"chunk of {s} samples exceeds the incremental window "
+                f"(buffer_size {self.config.buffer_size} − halo "
+                f"{self._halo}); use smaller chunks or a larger buffer")
         coeffs = self._update_coeffs(samples)
         if self.halflife is None:
             self._var, self._count = _var_cum_step(self._var, self._count,
@@ -484,6 +492,9 @@ def save_state(stream, path: str) -> None:
     }
     if hasattr(stream, "_coeffs"):
         payload["coeffs"] = np.asarray(stream._coeffs)
+    if hasattr(stream, "_var"):
+        payload["var"] = np.asarray(stream._var)
+        payload["var_count"] = np.asarray(stream._count)
     np.savez(path, **payload)
 
 
@@ -497,3 +508,6 @@ def load_state(stream, path: str) -> None:
     )
     if "coeffs" in z and hasattr(stream, "_coeffs"):
         stream._coeffs = jnp.asarray(z["coeffs"])
+    if "var" in z and hasattr(stream, "_var"):
+        stream._var = jnp.asarray(z["var"])
+        stream._count = jnp.asarray(z["var_count"])

@@ -50,7 +50,7 @@ def time_chain(step, x, k_short=4, k_long=24, repeats=5):
     pos = sorted(d for d in diffs if d > 0)
     if not pos:  # every repeat corrupted by timing noise
         return 1e-9
-    return pos[len(pos) // 2]
+    return max(pos[len(pos) // 2], 1e-9)
 
 
 def measure_samples_per_sec(step, x, k_short=4, k_long=24, repeats=3):

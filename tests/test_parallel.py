@@ -424,3 +424,25 @@ def test_scattering2d_path_sharded_matches(rng):
                   ).lower(img).compile().as_text()
     bad = [c for c in _COLLECTIVES if c in txt]
     assert not bad, bad
+
+
+@needs8
+def test_sharded_entry_validation(rng):
+    from jwave_pro_tpu.parallel.sharded import (
+        modwt2_sharded, scattering2d_sharded, scattering_sharded,
+        ssq_sharded)
+    mesh = make_mesh({"scale": 8})
+    x = rng.standard_normal(256).astype(np.float32)
+    for fn in (lambda: scattering_sharded(x, j=2, q=4),
+               lambda: ssq_sharded(x, [1.0, 2.0, 4.0, 8.0]),
+               lambda: scattering2d_sharded(rng.standard_normal((16, 16)),
+                                            j=2, l=4)):
+        with pytest.raises(ValueError, match="requires a mesh"):
+            fn()
+    with pytest.raises(ValueError, match="frequency bins"):
+        ssq_sharded(x, np.asarray(jw.generate_log_scales(1., 16., 8)),
+                    mesh=mesh, n_freqs=1)
+    # modwt2_sharded enforces the same depth limit as modwt2
+    mesh_s = make_mesh({"signal": 8})
+    with pytest.raises(ValueError, match="theoretical limit|halo"):
+        modwt2_sharded(rng.standard_normal((16, 16)), DB4, 5, mesh_s)

@@ -219,3 +219,9 @@ class TestRidgeExtraction:
         assert r.shape == (2, 3, 2, 128)
         with pytest.raises(ValueError):
             jw.extract_ridges(np.zeros((4, 8)), n_ridges=5)
+
+
+def test_ridge_mask_budget_guard(rng):
+    with pytest.raises(ValueError, match="mask"):
+        jw.extract_ridges(rng.standard_normal((8, 32)), n_ridges=3,
+                          mask_width=2)

@@ -198,3 +198,26 @@ def test_streaming_variance_factory_and_reset(rng):
     assert float(np.abs(np.asarray(sv.variance)).max()) > 0
     sv.reset()
     assert float(np.abs(np.asarray(sv.variance)).max()) == 0.0
+
+
+def test_streaming_variance_rejects_oversize_chunk(rng):
+    cfg = st.StreamingConfig(buffer_size=128, max_level=2)
+    sv = st.StreamingVariance(jw.wavelet("Haar"), cfg)
+    with pytest.raises(ValueError, match="incremental window"):
+        sv.update(rng.standard_normal(300))
+
+
+def test_streaming_variance_checkpoint_roundtrip(rng, tmp_path):
+    cfg = st.StreamingConfig(buffer_size=256, max_level=2)
+    sv = st.StreamingVariance(jw.wavelet("Haar"), cfg)
+    for _ in range(5):
+        sv.update(rng.standard_normal(64))
+    p = str(tmp_path / "sv_state")
+    st.save_state(sv, p)
+    fresh = st.StreamingVariance(jw.wavelet("Haar"), cfg)
+    st.load_state(fresh, p)
+    np.testing.assert_allclose(np.asarray(fresh.variance),
+                               np.asarray(sv.variance))
+    chunk = rng.standard_normal(64)
+    np.testing.assert_allclose(np.asarray(fresh.update(chunk)),
+                               np.asarray(sv.update(chunk)), rtol=1e-6)

@@ -215,3 +215,11 @@ def test_basis2_masks_tile_plane(rng):
         cover += np.kron(np.asarray(m, dtype=float),
                          np.ones((32 // p, 16 // p)))
     np.testing.assert_allclose(cover, 1.0)  # exact tiling, no overlap
+
+
+def test_best_basis2_level_validation(rng):
+    img = rng.standard_normal((16, 16))
+    with pytest.raises(ValueError, match="out of range"):
+        jw.best_basis2(img, HAAR, -1)
+    with pytest.raises(ValueError, match="out of range"):
+        jw.best_basis2(img, HAAR, 99)
