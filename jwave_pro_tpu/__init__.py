@@ -34,7 +34,7 @@ from .ops.cwt import (  # noqa: F401
     CWTResult, cwt, cwt_direct, generate_linear_scales, generate_log_scales,
     icwt,
 )
-from .ops.cwt2d import CWT2Result, cwt2  # noqa: F401
+from .ops.cwt2d import CWT2Result, cwt2, icwt2  # noqa: F401
 from .ops.ssq import SSQResult, issq_cwt, ssq_cwt  # noqa: F401
 from .ops.ridge import RidgeResult, extract_ridges  # noqa: F401
 from .ops.scattering import (  # noqa: F401

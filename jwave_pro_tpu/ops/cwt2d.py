@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..wavelets.continuous2d import ContinuousWavelet2D, MexicanHat2D
 
-__all__ = ["cwt2", "CWT2Result"]
+__all__ = ["cwt2", "icwt2", "CWT2Result"]
 
 
 class CWT2Result(typing.NamedTuple):
@@ -179,3 +179,86 @@ def cwt2(x: jax.Array, scales, wavelet: ContinuousWavelet2D | None = None,
         angles_arr = jnp.asarray(angles_np).astype(rdtype)
     return CWT2Result(coeff, jnp.asarray(scales_np).astype(rdtype),
                       angles_arr, sampling_rate, wavelet.name)
+
+
+@functools.lru_cache(maxsize=8)
+def _recon_filter2d(wavelet: ContinuousWavelet2D, scales: tuple,
+                    angles: tuple | None, h: int, w: int,
+                    sampling_rate: float):
+    """Regularized 2D reconstruction filter G(k) — host-side, cached.
+
+    2D analog of the 1D tier's ``ops/cwt.py:_recon_filter``: the weighted
+    plane sum R(b) = Σ_{a,θ} w_a/A · W(a,θ,b) is the image convolved with a
+    kernel of spectrum H(k) = Σ w_a/A · conj(a·ψ̂(a·r_{−θ}k)); with
+    w_a = Δln(a)/a the radial integrand is scale-invariant (∫ψ̂(u) dln u),
+    so H is ~flat over the covered band, and G = conj(H)/(|H|² + ε²)
+    (ε = 5% of the in-band peak) deconvolves it — exact in-band, zero at DC
+    (wavelets are zero-mean).
+    """
+    m = _multipliers2d(wavelet, scales, angles, h, w, sampling_rate,
+                       half=False)
+    scales_np = np.asarray(scales, dtype=np.float64)
+    dln = (np.gradient(np.log(scales_np)) if scales_np.size > 1
+           else np.ones(1))
+    wts = dln / scales_np
+    na = 1 if angles is None else len(angles)
+    wfull = np.repeat(wts, na) / na
+    hk = np.tensordot(wfull, m, axes=(0, 0))  # (h, w) complex
+    # Effective response on a REAL image: directional grids span θ ∈ [0, π)
+    # so H covers only a k half-plane; the Hermitian half supplies the
+    # rest.  With S(k) = FFT(2·Re r) = X̂·[H(k) + conj(H(−k))] (derivation
+    # in :func:`icwt2`), calibrate against H₂ = H(k) + conj(H(−k)) — for
+    # real-even isotropic ψ̂ this is just 2H, consistent with the real path.
+    h2 = hk + np.conj(np.roll(hk[::-1, ::-1], (1, 1), axis=(0, 1)))
+    peak = float(np.max(np.abs(h2)))
+    if peak < 1e-30:
+        raise ValueError("wavelet/scale grid cannot be calibrated for icwt2")
+    eps2 = (0.05 * peak) ** 2
+    g = np.conj(h2) / (np.abs(h2) ** 2 + eps2)
+    return g, wfull
+
+
+def icwt2(result: CWT2Result, wavelet: ContinuousWavelet2D | None = None,
+          scales=None, angles=None) -> jax.Array:
+    """Approximate inverse 2D CWT (real-image reconstruction).
+
+    Single-integral reconstruction with frequency compensation, the 2D
+    analog of :func:`..cwt.icwt`: the Δln(a)/a-weighted plane sum is
+    deconvolved by the grid's aggregate response (see
+    :func:`_recon_filter2d`).  Assumes a REAL source image (directional
+    grids span θ ∈ [0, π); the Hermitian half-plane supplies the rest).
+    Accuracy is that of the method — in-band components reconstruct to a
+    few %, the image mean (DC) is not recoverable.  Fully jittable with
+    static ``scales=``/``angles=`` grids.
+    """
+    if wavelet is None:
+        wavelet = MexicanHat2D()
+    coeffs = result.coefficients
+    if scales is None:
+        if isinstance(result.scales, jax.core.Tracer):
+            raise ValueError("icwt2 under jit needs a static scale grid: "
+                             "pass scales= explicitly")
+        scales = np.asarray(result.scales, dtype=np.float64)
+    scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
+    if angles is None and result.angles is not None:
+        if isinstance(result.angles, jax.core.Tracer):
+            raise ValueError("icwt2 under jit needs a static angle grid: "
+                             "pass angles= explicitly")
+        angles = np.asarray(result.angles, dtype=np.float64)
+    angles_t = (None if angles is None else
+                tuple(float(t) for t in np.atleast_1d(angles)))
+    h, w = coeffs.shape[-2], coeffs.shape[-1]
+    g, wfull = _recon_filter2d(
+        wavelet, tuple(float(a) for a in scales_np), angles_t, h, w,
+        float(result.sampling_rate))
+    n_planes = wfull.shape[0]
+    lead = coeffs.ndim - (4 if angles_t is not None else 3)
+    flat = coeffs.reshape(coeffs.shape[:lead] + (n_planes, h, w))
+    r = jnp.einsum("s,...shw->...hw",
+                   jnp.asarray(wfull).astype(jnp.abs(flat).dtype), flat)
+    # S(k) = FFT(2·Re r) = X̂·(H(k) + conj(H(−k))): FFT(r) + FFT(conj r)
+    # folds the Hermitian half-plane in, matching the H₂ calibration.
+    rf = jnp.fft.fft2(2.0 * jnp.real(r), axes=(-2, -1))
+    cdt = jnp.complex128 if rf.dtype == jnp.complex128 else jnp.complex64
+    x = jnp.fft.ifft2(rf * jnp.asarray(g).astype(cdt), axes=(-2, -1))
+    return jnp.real(x)

@@ -150,6 +150,24 @@ def _level_conv(v, g, h, j, method, adjoint=False, w=None):
     return out_v, out_w
 
 
+def _combined_adjoint(v, w, g, h, d, axis=-1):
+    """Σ_k roll(g[k]·v + h[k]·w, −k·d) — one inverse MODWT level.
+
+    The caller of the adjoint pair only ever needs the SUM of the two
+    branches, so combining BEFORE rolling (the kernels/modwt_pallas.py
+    inverse trick, ``_inverse_kernel``) does one roll per tap instead of
+    two.
+    """
+    m = int(g.shape[0])
+    acc = None
+    for k in range(m):
+        t = g[k] * v + h[k] * w
+        if k:
+            t = jnp.roll(t, -k * d, axis=axis)
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def _check_level(n: int, level: int) -> None:
     if level < 1:
         raise ValueError(f"decomposition level must be ≥ 1, got {level}")
@@ -266,17 +284,9 @@ def imodwt(coeffs: jax.Array, wavelet: DiscreteWavelet,
                                  w=coeffs[j - 1])
             v = va + wa
         else:
-            # adj_g(v) + adj_h(w) = Σ_k roll(g[k]·v + h[k]·w, −k·d):
-            # combining before the roll halves the roll count.
-            gk = jnp.asarray(g, dtype=v.dtype)
-            hk = jnp.asarray(h, dtype=v.dtype)
-            w_row = coeffs[j - 1]
-            acc = None
-            for k in range(g.shape[0]):
-                t = gk[k] * v + hk[k] * w_row
-                t = jnp.roll(t, -k * d, axis=-1) if k else t
-                acc = t if acc is None else acc + t
-            v = acc
+            v = _combined_adjoint(v, coeffs[j - 1],
+                                  jnp.asarray(g, dtype=v.dtype),
+                                  jnp.asarray(h, dtype=v.dtype), d)
     return v
 
 

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ..wavelets.base import DiscreteWavelet
-from .modwt import MAX_DECOMPOSITION_LEVEL, _conv_channels, modwt_base_filters
+from .modwt import (MAX_DECOMPOSITION_LEVEL, _combined_adjoint,
+                    _conv_channels, modwt_base_filters)
 
 __all__ = ["modwt2", "imodwt2", "modwt2_mra", "modwt3", "imodwt3",
            "modwt3_mra"]
@@ -34,10 +35,47 @@ def _conv_last(x, f, d, adjoint):
     return _conv_channels(x, (f,), d, adjoint)[..., 0, :]
 
 
+def _conv_axis(x, f, d, axis, adjoint=False):
+    """Dilated circular conv along ``axis`` (transpose to the lane axis,
+    shared-roll kernel, transpose back).
+
+    Measured on v5e: rolling the sublane/depth axis DIRECTLY (no swapaxes)
+    is ~30% SLOWER than transposing around lane-axis rolls — second-minor
+    shifts move data within every (8, 128) tile, while XLA fuses the
+    transpose pair into the surrounding elementwise work.
+    """
+    if axis in (-1, x.ndim - 1):
+        return _conv_last(x, f, d, adjoint)
+    xt = jnp.swapaxes(x, -1, axis)
+    return jnp.swapaxes(_conv_last(xt, f, d, adjoint), -1, axis)
+
+
+def _conv_axis_pair(x, g, h, d, axis, adjoint=False):
+    """(x⋆g, x⋆h) along ``axis`` sharing the rolled copies (rides the
+    2-channel path of :func:`..modwt._conv_channels`; one transpose pair
+    serves both filters)."""
+    if axis in (-1, x.ndim - 1):
+        out = _conv_channels(x, (g, h), d, adjoint)
+        return out[..., 0, :], out[..., 1, :]
+    xt = jnp.swapaxes(x, -1, axis)
+    out = _conv_channels(xt, (g, h), d, adjoint)
+    return (jnp.swapaxes(out[..., 0, :], -1, axis),
+            jnp.swapaxes(out[..., 1, :], -1, axis))
+
+
+def _combined_adjoint_axis(v, w, g, h, d, axis):
+    """Σ_k roll(g[k]·v + h[k]·w, −k·d) along ``axis`` (transposed to the
+    lane axis — see :func:`_conv_axis`'s measurement note)."""
+    if axis in (-1, v.ndim - 1):
+        return _combined_adjoint(v, w, g, h, d)
+    vt = jnp.swapaxes(v, -1, axis)
+    wt = jnp.swapaxes(w, -1, axis)
+    return jnp.swapaxes(_combined_adjoint(vt, wt, g, h, d), -1, axis)
+
+
 def _conv_cols(x, f, d, adjoint):
-    """Same along the second-to-last axis."""
-    xt = jnp.swapaxes(x, -1, -2)
-    return jnp.swapaxes(_conv_last(xt, f, d, adjoint), -1, -2)
+    """Dilated circular conv along the second-to-last axis."""
+    return _conv_axis(x, f, d, -2, adjoint)
 
 
 def _check_nd(dims, level):
@@ -62,12 +100,9 @@ def modwt2(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
     ll = x
     for j in range(1, level + 1):
         d = 1 << (j - 1)
-        cl = _conv_last(ll, g, d, False)   # col pass (last axis)
-        ch = _conv_last(ll, h, d, False)
-        lh = _conv_cols(ch, g, d, False)   # row-low · col-high
-        hl = _conv_cols(cl, h, d, False)   # row-high · col-low
-        hh = _conv_cols(ch, h, d, False)
-        ll = _conv_cols(cl, g, d, False)
+        cl, ch = _conv_axis_pair(ll, g, h, d, -1)   # col pass (last axis)
+        ll, hl = _conv_axis_pair(cl, g, h, d, -2)   # row pass, shared rolls
+        lh, hh = _conv_axis_pair(ch, g, h, d, -2)
         rows.extend([lh, hl, hh])
     rows.append(ll)
     return jnp.stack(rows, axis=0)
@@ -91,9 +126,9 @@ def imodwt2(coeffs: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
         hl = coeffs[3 * (j - 1) + 1]
         hh = coeffs[3 * (j - 1) + 2]
 
-        cl = _conv_cols(ll, g, d, True) + _conv_cols(hl, h, d, True)
-        ch = _conv_cols(lh, g, d, True) + _conv_cols(hh, h, d, True)
-        ll = _conv_last(cl, g, d, True) + _conv_last(ch, h, d, True)
+        cl = _combined_adjoint_axis(ll, hl, g, h, d, -2)
+        ch = _combined_adjoint_axis(lh, hh, g, h, d, -2)
+        ll = _combined_adjoint_axis(cl, ch, g, h, d, -1)
     return ll
 
 
@@ -109,8 +144,7 @@ def modwt2_mra(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
 
 def _conv_depth(x, f, d, adjoint):
     """Dilated circular conv along the third-to-last axis."""
-    xt = jnp.swapaxes(x, -1, -3)
-    return jnp.swapaxes(_conv_last(xt, f, d, adjoint), -1, -3)
+    return _conv_axis(x, f, d, -3, adjoint)
 
 
 def modwt3(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
@@ -131,22 +165,15 @@ def modwt3(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
     lll = x
     for j in range(1, level + 1):
         d = 1 << (j - 1)
-        cl = _conv_last(lll, g, d, False)      # col pass (last axis)
-        ch = _conv_last(lll, h, d, False)
-        rll = _conv_cols(cl, g, d, False)      # row pass
-        rlh = _conv_cols(ch, g, d, False)
-        rhl = _conv_cols(cl, h, d, False)
-        rhh = _conv_cols(ch, h, d, False)
+        cl, ch = _conv_axis_pair(lll, g, h, d, -1)    # col pass
+        rll, rhl = _conv_axis_pair(cl, g, h, d, -2)   # row pass
+        rlh, rhh = _conv_axis_pair(ch, g, h, d, -2)
         # depth pass: order (depth, row, col) = (b2, b1, b0) binary octants
-        llh = _conv_depth(rlh, g, d, False)
-        lhl = _conv_depth(rhl, g, d, False)
-        lhh = _conv_depth(rhh, g, d, False)
-        hll = _conv_depth(rll, h, d, False)
-        hlh = _conv_depth(rlh, h, d, False)
-        hhl = _conv_depth(rhl, h, d, False)
-        hhh = _conv_depth(rhh, h, d, False)
+        lll, hll = _conv_axis_pair(rll, g, h, d, -3)
+        llh, hlh = _conv_axis_pair(rlh, g, h, d, -3)
+        lhl, hhl = _conv_axis_pair(rhl, g, h, d, -3)
+        lhh, hhh = _conv_axis_pair(rhh, g, h, d, -3)
         rows.extend([llh, lhl, lhh, hll, hlh, hhl, hhh])
-        lll = _conv_depth(rll, g, d, False)
     rows.append(lll)
     return jnp.stack(rows, axis=0)
 
@@ -168,15 +195,15 @@ def imodwt3(coeffs: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
         llh, lhl, lhh, hll, hlh, hhl, hhh = (
             coeffs[7 * (j - 1) + k] for k in range(7))
         # undo depth pass per (row, col) quadrant
-        rll = _conv_depth(lll, g, d, True) + _conv_depth(hll, h, d, True)
-        rlh = _conv_depth(llh, g, d, True) + _conv_depth(hlh, h, d, True)
-        rhl = _conv_depth(lhl, g, d, True) + _conv_depth(hhl, h, d, True)
-        rhh = _conv_depth(lhh, g, d, True) + _conv_depth(hhh, h, d, True)
+        rll = _combined_adjoint_axis(lll, hll, g, h, d, -3)
+        rlh = _combined_adjoint_axis(llh, hlh, g, h, d, -3)
+        rhl = _combined_adjoint_axis(lhl, hhl, g, h, d, -3)
+        rhh = _combined_adjoint_axis(lhh, hhh, g, h, d, -3)
         # undo row pass per col band
-        cl = _conv_cols(rll, g, d, True) + _conv_cols(rhl, h, d, True)
-        ch = _conv_cols(rlh, g, d, True) + _conv_cols(rhh, h, d, True)
+        cl = _combined_adjoint_axis(rll, rhl, g, h, d, -2)
+        ch = _combined_adjoint_axis(rlh, rhh, g, h, d, -2)
         # undo col pass
-        lll = _conv_last(cl, g, d, True) + _conv_last(ch, h, d, True)
+        lll = _combined_adjoint_axis(cl, ch, g, h, d, -1)
     return lll
 
 

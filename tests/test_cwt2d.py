@@ -176,3 +176,34 @@ def test_result_container_and_factory():
         MexicanHat2D(sigma=0.0)
     with pytest.raises(ValueError):
         Morlet2D(k0=-1.0)
+
+
+def test_icwt2_reconstructs_band_limited_image(rng):
+    n = 64
+    xg, yg = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    img = (np.sin(2 * np.pi * xg / 8) * np.cos(2 * np.pi * yg / 10)
+           + 0.5 * np.sin(2 * np.pi * (xg + yg) / 16))
+    img -= img.mean()
+    scales = np.asarray(jw.generate_log_scales(1.0, 8.0, 24))
+    # isotropic (real coefficients)
+    res = jw.cwt2(img, scales, jw.MexicanHat2D())
+    rec = np.asarray(jw.icwt2(res, jw.MexicanHat2D()))
+    e = np.linalg.norm(rec - img) / np.linalg.norm(img)
+    assert e < 0.05, e
+    # directional complex grid: Hermitian-completed calibration
+    angles = np.linspace(0, np.pi, 8, endpoint=False)
+    res2 = jw.cwt2(img, scales, jw.Morlet2D(), angles=angles)
+    rec2 = np.asarray(jw.icwt2(res2, jw.Morlet2D()))
+    e2 = np.linalg.norm(rec2 - img) / np.linalg.norm(img)
+    assert e2 < 0.05, e2
+
+
+def test_icwt2_jit_static_grids(rng):
+    img = rng.standard_normal((2, 32, 32))
+    img -= img.mean(axis=(-2, -1), keepdims=True)
+    scales = tuple(float(s) for s in jw.generate_log_scales(1.0, 6.0, 16))
+    import jax
+    f = jax.jit(lambda c: jw.icwt2(jw.cwt2(c, scales, jw.MexicanHat2D()),
+                                   jw.MexicanHat2D(), scales=scales))
+    out = np.asarray(f(img))
+    assert out.shape == img.shape and np.isfinite(out).all()
