@@ -14,8 +14,8 @@ import jax.numpy as jnp
 from ..wavelets.base import DiscreteWavelet
 from .fwt import analysis_step, fwt, ifwt, synthesis_step
 
-__all__ = ["dwt", "idwt", "wavedec", "waverec", "coeffs_to_flat",
-           "flat_to_coeffs"]
+__all__ = ["dwt", "idwt", "dwt2", "idwt2", "wavedec", "waverec",
+           "wavedec2", "waverec2", "coeffs_to_flat", "flat_to_coeffs"]
 
 
 def dwt(x: jax.Array, wavelet: DiscreteWavelet):
@@ -74,3 +74,80 @@ def waverec(coeffs: list[jax.Array], wavelet: DiscreteWavelet) -> jax.Array:
     """Reconstruct from a pywt-style coefficient list."""
     level = len(coeffs) - 1
     return ifwt(coeffs_to_flat(coeffs), wavelet, level)
+
+
+def dwt2(x: jax.Array, wavelet: DiscreteWavelet):
+    """Single-level 2D DWT: ``(..., R, C) → (cA, (cH, cV, cD))``.
+
+    pywt semantics on the library's periodic boundary: cH = horizontal
+    detail (wavelet along rows, scaling along cols — responds to horizontal
+    edges), cV the transpose, cD diagonal.  Both R and C must be even.
+    """
+    from .wpt import _step2
+
+    x = jnp.asarray(x)
+    r, c = x.shape[-2], x.shape[-1]
+    if r % 2 or c % 2:
+        raise ValueError(f"dwt2 requires even image sides, got ({r}, {c})")
+    y = _step2(x, wavelet, r, c)
+    hr, hc = r // 2, c // 2
+    ca = y[..., :hr, :hc]
+    cv = y[..., :hr, hc:]   # scaling@rows · wavelet@cols → vertical edges
+    ch = y[..., hr:, :hc]   # wavelet@rows · scaling@cols → horizontal edges
+    cd = y[..., hr:, hc:]
+    return ca, (ch, cv, cd)
+
+
+def idwt2(ca: jax.Array, details, wavelet: DiscreteWavelet) -> jax.Array:
+    """Inverse of :func:`dwt2`."""
+    from .wpt import _synth2
+
+    ch, cv, cd = details
+    ca, ch, cv, cd = (jnp.asarray(a) for a in (ca, ch, cv, cd))
+    for name, a in (("cH", ch), ("cV", cv), ("cD", cd)):
+        if a.shape != ca.shape:
+            raise ValueError(f"{name} shape {a.shape} != cA shape {ca.shape}")
+    top = jnp.concatenate([ca, cv], axis=-1)
+    bot = jnp.concatenate([ch, cd], axis=-1)
+    y = jnp.concatenate([top, bot], axis=-2)
+    return _synth2(y, wavelet, y.shape[-2], y.shape[-1])
+
+
+def wavedec2(x: jax.Array, wavelet: DiscreteWavelet, level=None):
+    """Multi-level 2D decomposition, Mallat convention (only cA recursed):
+    ``[cA_L, (cH_L, cV_L, cD_L), ..., (cH_1, cV_1, cD_1)]``.
+
+    This is pywt's octave-band image DWT — distinct from :func:`..fwt.fwt2`,
+    which is the reference's rectangular rows-then-cols convention
+    (``BasicTransform.java:361-399``).
+    """
+    x = jnp.asarray(x)
+    r, c = x.shape[-2], x.shape[-1]
+    if level is None:
+        # default depth: halve while both sides stay even and at least as
+        # wide as the wavelet's minimum transform length
+        floor = max(2, wavelet.transform_wavelength)
+        level = 0
+        rr, cc = r, c
+        while rr % 2 == 0 and cc % 2 == 0 and min(rr, cc) >= floor:
+            level += 1
+            rr //= 2
+            cc //= 2
+    level = int(level)
+    if level < 1:
+        raise ValueError("level must be >= 1")
+    out = []
+    ca = x
+    for _ in range(level):
+        ca, det = dwt2(ca, wavelet)
+        out.append(det)
+    out.append(ca)
+    return list(reversed(out))
+
+
+def waverec2(coeffs, wavelet: DiscreteWavelet) -> jax.Array:
+    """Reconstruct from a :func:`wavedec2` coefficient list."""
+    ca = jnp.asarray(coeffs[0])
+    for det in coeffs[1:]:
+        ca = idwt2(ca, det, wavelet)
+    return ca

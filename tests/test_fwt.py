@@ -168,3 +168,35 @@ def test_dwt_idwt_validation(rng):
         jw.dwt(rng.standard_normal(33), DB4)       # odd length
     with np.testing.assert_raises(ValueError):
         jw.idwt(rng.standard_normal(6), rng.standard_normal(4), DB4)
+
+def test_dwt2_idwt2_roundtrip_and_band_semantics(rng):
+    img = rng.standard_normal((2, 32, 48))
+    ca, (ch, cv, cd) = jw.dwt2(img, DB4)
+    assert ca.shape == (2, 16, 24)
+    np.testing.assert_allclose(np.asarray(jw.idwt2(ca, (ch, cv, cd), DB4)),
+                               img, atol=1e-8)
+    # energy preservation (orthonormal bank)
+    tot = sum(float(np.sum(np.asarray(a) ** 2)) for a in (ca, ch, cv, cd))
+    np.testing.assert_allclose(tot, float(np.sum(img ** 2)), rtol=1e-10)
+    # semantics: a horizontal-stripe image concentrates in cH
+    stripes = np.broadcast_to(
+        ((-1.0) ** np.arange(32))[:, None], (32, 48)).copy()
+    _, (sh, sv, sd) = jw.dwt2(stripes, jw.wavelet("Haar"))
+    eh, ev, ed = (float(np.sum(np.asarray(a) ** 2)) for a in (sh, sv, sd))
+    assert eh > 100 * max(ev, ed)
+
+
+def test_wavedec2_waverec2_mallat(rng):
+    img = rng.standard_normal((64, 32))
+    coeffs = jw.wavedec2(img, DB4, 3)
+    assert len(coeffs) == 4
+    assert coeffs[0].shape == (8, 4)            # cA_3
+    assert coeffs[1][0].shape == (8, 4)         # level-3 details
+    assert coeffs[3][0].shape == (32, 16)       # level-1 details
+    np.testing.assert_allclose(np.asarray(jw.waverec2(coeffs, DB4)), img,
+                               atol=1e-8)
+    # default level picks the full even-halving depth
+    c2 = jw.wavedec2(img, jw.wavelet("Haar"))
+    assert len(c2) == 6  # 5 levels: 64x32 -> 2x1? floor=2: 32/2^5=1 stop at 5
+    with np.testing.assert_raises(ValueError):
+        jw.dwt2(rng.standard_normal((15, 16)), DB4)
