@@ -54,6 +54,37 @@ def main():
     for cname, psi_hat in oracles.NP_PSI_HATS.items():
         payload[f"cwt_{cname}"] = oracles.cwt_fft(sig64, scales, psi_hat)
 
+    # 2D/3D MODWT: separable application of the 1D oracle convolutions
+    def conv_axis(a, f, axis):
+        return np.apply_along_axis(
+            lambda v: oracles.circular_convolve(v, f), axis, a)
+
+    db4 = jw.wavelet("Daubechies 4")
+    g, h = oracles.modwt_filters(db4)
+    img = rng.standard_normal((16, 20))
+    payload["input_img_16x20"] = img
+    rows2, ll = [], img
+    for j in (1, 2):
+        gj, hj = oracles.upsample(g, j), oracles.upsample(h, j)
+        cl, ch = conv_axis(ll, gj, -1), conv_axis(ll, hj, -1)
+        rows2.extend([conv_axis(ch, gj, -2), conv_axis(cl, hj, -2),
+                      conv_axis(ch, hj, -2)])
+        ll = conv_axis(cl, gj, -2)
+    rows2.append(ll)
+    payload["modwt2_Daubechies_4_L2"] = np.stack(rows2)
+
+    vol = rng.standard_normal((8, 10, 12))
+    payload["input_vol_8x10x12"] = vol
+    g1, h1 = oracles.upsample(g, 1), oracles.upsample(h, 1)
+    cl, ch = conv_axis(vol, g1, -1), conv_axis(vol, h1, -1)
+    rll, rhl = conv_axis(cl, g1, -2), conv_axis(cl, h1, -2)
+    rlh, rhh = conv_axis(ch, g1, -2), conv_axis(ch, h1, -2)
+    rows3 = [conv_axis(rlh, g1, -3), conv_axis(rhl, g1, -3),
+             conv_axis(rhh, g1, -3), conv_axis(rll, h1, -3),
+             conv_axis(rlh, h1, -3), conv_axis(rhl, h1, -3),
+             conv_axis(rhh, h1, -3), conv_axis(rll, g1, -3)]
+    payload["modwt3_Daubechies_4_L1"] = np.stack(rows3)
+
     np.savez_compressed(OUT / "golden.npz", **payload)
     n_w = len(wavelets)
     print(f"wrote {OUT/'golden.npz'} with {len(payload)} arrays "
