@@ -207,6 +207,21 @@ def bench_ssq(batch=4, n=4096, n_scales=32):
     return batch * n / _time_chain(step, x)
 
 
+def bench_modwt2(batch=8, n=512, level=3, method="auto"):
+    """2D MODWT forward: pixels/s (fused kernel on TPU when shapes allow)."""
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n)),
+                    jnp.float32)
+
+    def step(v):
+        c = jw.modwt2(v, w, level, method=method)
+        if method == "direct":
+            return c[-1] + 1e-30 * jnp.sum(c[:-1], axis=0)
+        return c[-1]  # pallas writes the whole buffer; DCE-proof
+
+    return batch * n * n / _time_chain(step, x)
+
+
 def bench_modwt2_denoise(batch=8, n=512, level=3):
     """2D image denoise (undecimated): pixels/s."""
     w = jw.wavelet("Daubechies 4")
@@ -255,6 +270,8 @@ def main():
             lambda: bench_cwt(wavelet=jw.MexicanHatWavelet()))
         run("scattering1d_j8q8", bench_scattering)
         run("ssq_morlet_32scales", bench_ssq)
+        run("modwt2_fwd_fused_512", bench_modwt2)
+        run("modwt2_fwd_xla_512", lambda: bench_modwt2(method="direct"))
         run("modwt2_denoise_512", bench_modwt2_denoise)
     value = results["modwt_db4_L5"]
     print(json.dumps({

@@ -87,12 +87,42 @@ def _check_nd(dims, level):
                          f"for shape {tuple(dims)}")
 
 
-def modwt2(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
-    """Forward 2D MODWT over the last two axes (any sizes)."""
+def _try_pallas2(x, wavelet, level):
+    """Dispatch the 2D forward to the fused TPU kernel when shapes allow."""
+    if jax.default_backend() != "tpu" or x.dtype != jnp.float32:
+        return None
+    if x.ndim not in (2, 3):
+        return None
+    from ..kernels.modwt2_pallas import modwt2_fused, pallas2d_supported
+
+    if pallas2d_supported(x.shape[-2], x.shape[-1], level,
+                          wavelet.length) is None:
+        return None
+    return modwt2_fused(x, wavelet, level)
+
+
+def modwt2(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+           method: str = "auto") -> jax.Array:
+    """Forward 2D MODWT over the last two axes (any sizes).
+
+    ``method``: 'auto' (fused TPU kernel when the shape allows — f32,
+    R % 8 == 0, C % 128 == 0, tiles divide — else XLA), 'pallas' (force,
+    raising if unsupported), or 'direct' (XLA separable path).
+    """
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(jnp.float32)
     _check_nd(x.shape[-2:], level)
+    if method in ("auto", "pallas"):
+        out = _try_pallas2(x, wavelet, level)
+        if out is not None:
+            return out
+        if method == "pallas":
+            raise ValueError(
+                f"fused 2D kernel unavailable for shape {x.shape} dtype "
+                f"{x.dtype} on backend {jax.default_backend()}")
+    elif method != "direct":
+        raise ValueError(f"unknown method {method!r}")
     g64, h64 = modwt_base_filters(wavelet)
     g = jnp.asarray(g64, dtype=x.dtype)
     h = jnp.asarray(h64, dtype=x.dtype)

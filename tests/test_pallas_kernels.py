@@ -297,3 +297,37 @@ class TestVarianceFused:
         got = np.asarray(jw.modwt_covariance(x, y, DB4, 3, method="fused"))
         want = np.asarray(jw.modwt_covariance(x, y, DB4, 3, method="direct"))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestModwt2Fused:
+    def test_interpret_parity_and_dispatch(self, rng):
+        from jwave_pro_tpu.kernels.modwt2_pallas import (
+            modwt2_fused, pallas2d_supported)
+        w = jw.wavelet("Daubechies 4")
+        x = rng.standard_normal((2, 128, 256)).astype(np.float32)
+        got = np.asarray(modwt2_fused(x, w, 2))
+        want = np.asarray(jw.modwt2(x, w, 2, method="direct"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        # 2D input squeeze path
+        g1 = np.asarray(modwt2_fused(x[0], w, 1))
+        np.testing.assert_allclose(
+            g1, np.asarray(jw.modwt2(x[0], w, 1, method="direct")),
+            atol=1e-4)
+
+    def test_plan_gates(self):
+        from jwave_pro_tpu.kernels.modwt2_pallas import pallas2d_supported
+        assert pallas2d_supported(512, 512, 3, 8) is not None
+        assert pallas2d_supported(100, 512, 3, 8) is None   # rows % 8
+        assert pallas2d_supported(512, 200, 3, 8) is None   # cols % 128
+        assert pallas2d_supported(64, 128, 4, 8) is None    # halo >= dims
+        with np.testing.assert_raises(ValueError):
+            jw.modwt2(np.zeros((100, 200), np.float32),
+                      jw.wavelet("Daubechies 4"), 2, method="pallas")
+
+    def test_symlet8_deeper_level(self, rng):
+        from jwave_pro_tpu.kernels.modwt2_pallas import modwt2_fused
+        w = jw.wavelet("Symlet 8")
+        x = rng.standard_normal((1, 256, 256)).astype(np.float32)
+        got = np.asarray(modwt2_fused(x, w, 2))
+        want = np.asarray(jw.modwt2(x, w, 2, method="direct"))
+        np.testing.assert_allclose(got, want, atol=1e-4)

@@ -130,6 +130,14 @@ def main():
         jw.imodwt3(jw.modwt3(v, w, 2), w) - v)))(vol))
     ok &= check("modwt3 roundtrip", err, 1e-4)
 
+    # fused 2D MODWT kernel vs XLA separable path (needs C > 128 for the
+    # lane-aligned halo; see kernels/modwt2_pallas.pallas2d_supported)
+    img8 = x[:8].reshape(8, 32, 256)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.modwt2(v, w, 2, method="pallas")
+        - jw.modwt2(v, w, 2, method="direct"))))(img8))
+    ok &= check("fused 2D modwt ≡ xla separable", err, 1e-4)
+
     # streaming variance kernel parity is CPU-tested; on device just check
     # the fused variance against the unbiased XLA estimator's biased twin
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
