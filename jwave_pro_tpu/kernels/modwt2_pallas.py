@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from ..wavelets.base import DiscreteWavelet
 from ..ops.modwt import modwt_base_filters
 
-__all__ = ["modwt2_fused", "pallas2d_supported"]
+__all__ = ["modwt2_fused", "imodwt2_fused", "pallas2d_supported"]
 
 
 def _halo(m: int, level: int) -> int:
@@ -206,3 +206,124 @@ def modwt2_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
         interpret=interp,
     )(xp.astype(jnp.float32))
     return out[:, 0] if squeeze else out
+
+
+def _inv2_kernel(c_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
+                 n_i, n_j):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    m = len(g)
+    step = (b * n_i + i) * n_j + j
+    slot = step % 2
+    total = pl.num_programs(0) * n_i * n_j
+    rows = 3 * level + 1
+    hgt, wid = rt + hr, ct + hc
+
+    def dma(sl, bb, ii, jj):
+        return pltpu.make_async_copy(
+            c_hbm.at[:, bb, pl.ds(ii * rt, hgt), pl.ds(jj * ct, wid)],
+            bufs.at[sl], sems.at[sl])
+
+    @pl.when(step == 0)
+    def _():
+        dma(slot, b, i, j).start()
+
+    last_j = j == n_j - 1
+    last_i = i == n_i - 1
+    nxt_j = jnp.where(last_j, 0, j + 1)
+    nxt_i = jnp.where(last_j, jnp.where(last_i, 0, i + 1), i)
+    nxt_b = jnp.where(last_j & last_i, b + 1, b)
+
+    @pl.when(step + 1 < total)
+    def _():
+        dma((step + 1) % 2, nxt_b, nxt_i, nxt_j).start()
+
+    dma(slot, b, i, j).wait()
+    c = bufs[slot]  # (rows, hgt, wid); garbage creeps from bottom/right
+    ll = c[rows - 1]
+    for lvl in range(level, 0, -1):
+        d = 1 << (lvl - 1)
+        base = 3 * (lvl - 1)
+        lh, hl, hh = c[base], c[base + 1], c[base + 2]
+        # undo row pass (adjoint reads forward → left-roll via size − k·d)
+        cl = ch = None
+        for k in range(m):
+            tl = g[k] * ll + h[k] * hl
+            th = g[k] * lh + h[k] * hh
+            if k:
+                tl = pltpu.roll(tl, hgt - k * d, 0)
+                th = pltpu.roll(th, hgt - k * d, 0)
+            cl = tl if cl is None else cl + tl
+            ch = th if ch is None else ch + th
+        # undo column pass
+        acc = None
+        for k in range(m):
+            t = g[k] * cl + h[k] * ch
+            if k:
+                t = pltpu.roll(t, wid - k * d, 1)
+            acc = t if acc is None else acc + t
+        ll = acc
+    out_ref[0] = ll[:rt, :ct]
+
+
+def _circular_pad2_right(c, hr, hc):
+    """Right/bottom circular context: (..., R, C) → (..., R+hr, C+hc)."""
+    bot = c[..., :hr, :] if hr else c[..., :0, :]
+    cr = jnp.concatenate([c, bot], axis=-2)
+    right = cr[..., :, :hc] if hc else cr[..., :, :0]
+    return jnp.concatenate([cr, right], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "interpret"))
+def imodwt2_fused(c: jax.Array, wavelet: DiscreteWavelet,
+                  interpret: bool | None = None) -> jax.Array:
+    """Fused inverse 2D MODWT: (3·level+1, B, R, C) or (3·level+1, R, C)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    squeeze = c.ndim == 3
+    if squeeze:
+        c = c[:, None]
+    if c.ndim != 4 or c.shape[0] % 3 != 1:
+        raise ValueError("imodwt2_fused expects a (3L+1, [B,] R, C) stack")
+    rows, bsz, r, cc = c.shape
+    level = (rows - 1) // 3
+    g64, h64 = modwt_base_filters(wavelet)
+    m = int(g64.shape[0])
+    sup = pallas2d_supported(r, cc, level, m)
+    if sup is None:
+        raise ValueError(f"unsupported shape {c.shape} for fused 2D iMODWT")
+    rt, ct, hr, hc = sup
+    # the inverse holds the whole (3L+1)-row window stack double-buffered
+    if 4 * (2 * rows * (rt + hr) * (ct + hc) + 2 * rt * ct) > 12 << 20:
+        rt, ct = min(rt, 64), min(ct, 256)
+        if r % rt or cc % ct or \
+                4 * (2 * rows * (rt + hr) * (ct + hc) + 2 * rt * ct) > 12 << 20:
+            raise ValueError(f"VMEM budget exceeded for {c.shape}")
+    g = tuple(np.asarray(g64, dtype=np.float32))
+    h = tuple(np.asarray(h64, dtype=np.float32))
+    cp = _circular_pad2_right(c, hr, hc)
+    n_i, n_j = r // rt, cc // ct
+
+    kernel = functools.partial(_inv2_kernel, g=g, h=h, level=level, hr=hr,
+                               hc=hc, rt=rt, ct=ct, n_i=n_i, n_j=n_j)
+    interp = (jax.default_backend() != "tpu" if interpret is None
+              else interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_i, n_j),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, rt, ct), lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, r, cc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, rt + hr, ct + hc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interp,
+    )(cp.astype(jnp.float32))
+    return out[0] if squeeze else out

@@ -138,14 +138,34 @@ def modwt2(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     return jnp.stack(rows, axis=0)
 
 
-def imodwt2(coeffs: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
-    """Inverse 2D MODWT: ``(3·level+1, ..., R, C)`` → ``(..., R, C)``."""
+def imodwt2(coeffs: jax.Array, wavelet: DiscreteWavelet,
+            method: str = "auto") -> jax.Array:
+    """Inverse 2D MODWT: ``(3·level+1, ..., R, C)`` → ``(..., R, C)``.
+
+    ``method`` as in :func:`modwt2` (the fused TPU kernel handles
+    ``(3L+1, [B,] R, C)`` f32 stacks).
+    """
     coeffs = jnp.asarray(coeffs)
     if coeffs.shape[0] % 3 != 1:
         raise ValueError(
             f"2D MODWT coefficient stack must have 3·level+1 rows, got "
             f"{coeffs.shape[0]}")
     level = (coeffs.shape[0] - 1) // 3
+    if method in ("auto", "pallas"):
+        if (jax.default_backend() == "tpu" and coeffs.dtype == jnp.float32
+                and coeffs.ndim in (3, 4)):
+            from ..kernels.modwt2_pallas import (
+                imodwt2_fused, pallas2d_supported)
+
+            if pallas2d_supported(coeffs.shape[-2], coeffs.shape[-1], level,
+                                  wavelet.length) is not None:
+                return imodwt2_fused(coeffs, wavelet)
+        if method == "pallas":
+            raise ValueError(
+                f"fused 2D inverse unavailable for shape {coeffs.shape} "
+                f"dtype {coeffs.dtype} on backend {jax.default_backend()}")
+    elif method != "direct":
+        raise ValueError(f"unknown method {method!r}")
     g64, h64 = modwt_base_filters(wavelet)
     g = jnp.asarray(g64, dtype=coeffs.dtype)
     h = jnp.asarray(h64, dtype=coeffs.dtype)

@@ -331,3 +331,17 @@ class TestModwt2Fused:
         got = np.asarray(modwt2_fused(x, w, 2))
         want = np.asarray(jw.modwt2(x, w, 2, method="direct"))
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_inverse_interpret_roundtrip(self, rng):
+        from jwave_pro_tpu.kernels.modwt2_pallas import (
+            imodwt2_fused, modwt2_fused)
+        w = jw.wavelet("Daubechies 4")
+        x = rng.standard_normal((2, 64, 256)).astype(np.float32)
+        rt = np.asarray(imodwt2_fused(modwt2_fused(x, w, 2), w))
+        np.testing.assert_allclose(rt, x, atol=1e-4)
+        # inverse of the XLA forward too (cross-path)
+        c = np.asarray(jw.modwt2(x, w, 2, method="direct"), np.float32)
+        rt2 = np.asarray(imodwt2_fused(c, w))
+        np.testing.assert_allclose(rt2, x, atol=1e-4)
+        with np.testing.assert_raises(ValueError):
+            imodwt2_fused(np.zeros((5, 64, 256), np.float32), w)  # 5%3!=2

@@ -137,6 +137,9 @@ def main():
         jw.modwt2(v, w, 2, method="pallas")
         - jw.modwt2(v, w, 2, method="direct"))))(img8))
     ok &= check("fused 2D modwt ≡ xla separable", err, 1e-4)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.imodwt2(jw.modwt2(v, w, 2), w) - v)))(img8))
+    ok &= check("fused 2D roundtrip", err, 1e-4)
 
     # streaming variance kernel parity is CPU-tested; on device just check
     # the fused variance against the unbiased XLA estimator's biased twin
