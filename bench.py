@@ -95,6 +95,20 @@ def bench_fwt2d(dtype=jnp.float32, batch=16, n=1024):
     return batch * n * n / dt
 
 
+def bench_modwpt(batch=32, n=1 << 18, level=3):
+    """Shift-invariant packet tree: input samples/s (2^level full-length
+    nodes per level — 2^level× output expansion at the leaf level)."""
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    jnp.float32)
+
+    def step(v):
+        c = jw.modwpt(v, w, level)  # (2^L, B, N)
+        return c[0] + 1e-30 * jnp.sum(c[1:], axis=0)  # DCE-proof feedback
+
+    return batch * n / _time_chain(step, x)
+
+
 def bench_wpt(dtype=jnp.float32, batch=64, n=65536, level=6):
     w = jw.wavelet("Symlet 8")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
@@ -265,6 +279,7 @@ def main():
         run("fwt_db4_1m", bench_fwt)
         run("fwt2_db4_1024", bench_fwt2d)
         run("wpt_sym8_L6", bench_wpt)
+        run("modwpt_db4_L3", bench_modwpt)
         run("cwt_morlet_64scales", bench_cwt)
         run("cwt_mexhat_64scales",
             lambda: bench_cwt(wavelet=jw.MexicanHatWavelet()))

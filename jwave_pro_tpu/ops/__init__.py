@@ -8,6 +8,10 @@ from .modwt import (
 )
 from .modwt2d import (imodwt2, imodwt3, modwt2, modwt2_mra, modwt3,
                       modwt3_mra)
+from .modwpt import (
+    imodwpt, modwpt, modwpt_basis_reconstruct, modwpt_best_basis,
+    modwpt_mra, modwpt_node_path, modwpt_tree,
+)
 from .wpt import (
     basis_coefficients, basis_coefficients2, basis_reconstruct,
     basis_reconstruct2, best_basis, best_basis2, iwpt, iwpt2, iwpt3,
@@ -22,6 +26,8 @@ __all__ = [
     "circular_convolve_adjoint", "imodwt", "modwt", "modwt_base_filters",
     "modwt_mra",
     "imodwt2", "modwt2", "modwt2_mra", "imodwt3", "modwt3", "modwt3_mra",
+    "imodwpt", "modwpt", "modwpt_basis_reconstruct", "modwpt_best_basis",
+    "modwpt_mra", "modwpt_node_path", "modwpt_tree",
     "basis_coefficients", "basis_reconstruct", "best_basis", "iwpt", "iwpt2",
     "basis_coefficients2", "basis_reconstruct2", "best_basis2", "wpt2_tree",
     "iwpt3", "log_energy_cost", "shannon_entropy_cost", "sure_cost",

@@ -525,6 +525,160 @@ def iwpt_sharded(y, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
                      out_specs=out_spec)(y)
 
 
+def _modwpt_local_levels(local, g, h, k, level, axis_name, method):
+    """Run MODWPT levels k+1..level on this device's level-k node.
+
+    Sequency bookkeeping under sharding: descendants of a level-k node form
+    a CONTIGUOUS sequency block (the per-level reorder only swaps sibling
+    pairs), so every deeper level is local.  The filter-assignment rule
+    (global node n: g̃ when n mod 4 ∈ {0,3}) is static for levels ≥ k+2
+    (the local block size ≥ 4 makes n mod 4 local) but depends on the
+    *device index's parity* at the first local level (2 children, global
+    indices 2·idx, 2·idx+1) — resolved with one traced pair-swap select.
+    """
+    from ..ops.modwpt import _level_forward
+    from ..ops.modwt import _level_conv
+
+    for j in range(k + 1, level + 1):
+        p = local.shape[0]
+        if p > 1:
+            local = _level_forward(local, g, h, j, method)
+            continue
+        gv, hv = _level_conv(local, g, h, j, method)
+        nat = jnp.concatenate([gv, hv], axis=0)          # (2, ..., N)
+        odd = (lax.axis_index(axis_name) % 2).astype(bool)
+        local = jnp.where(odd, nat[::-1], nat)
+    return local
+
+
+def _modwpt_subtree_body(xl, wavelet, level, k, axis_name, method):
+    """shard_map body: replicated levels 1..k, then a purely-local subtree."""
+    from ..ops.modwpt import _level_forward
+
+    g, h = modwt_base_filters(wavelet)
+    nodes = xl[jnp.newaxis]
+    for j in range(1, k + 1):
+        nodes = _level_forward(nodes, g, h, j, method)
+    if k:
+        idx = lax.axis_index(axis_name)
+        nodes = lax.dynamic_slice_in_dim(nodes, idx, 1, axis=0)
+    return _modwpt_local_levels(nodes, g, h, k, level, axis_name, method)
+
+
+def _imodwpt_subtree_body(yl, wavelet, level, k, n_dev, axis_name, method):
+    """Inverse: local subtree adjoints, ONE all-gather at level k, then the
+    replicated top-k inverse; returns this device's signal slice."""
+    from ..ops.modwpt import _level_inverse
+    from ..ops.modwt import _combined_adjoint, _level_conv, _use_fft
+
+    g, h = modwt_base_filters(wavelet)
+    local = yl
+    for j in range(level, k, -1):
+        p2 = local.shape[0]
+        if p2 > 2:
+            local = _level_inverse(local, g, h, j, method)
+            continue
+        odd = (lax.axis_index(axis_name) % 2).astype(bool)
+        nat = jnp.where(odd, local[::-1], local)
+        child_g, child_h = nat[0:1], nat[1:2]
+        if _use_fft(method, local.shape[-1], g.shape[0], 1 << (j - 1)):
+            va, wa = _level_conv(child_g, g, h, j, method, adjoint=True,
+                                 w=child_h)
+            local = va + wa
+        else:
+            local = _combined_adjoint(
+                child_g, child_h, jnp.asarray(g, dtype=local.dtype),
+                jnp.asarray(h, dtype=local.dtype), 1 << (j - 1))
+    if k:
+        full = lax.all_gather(local, axis_name, axis=0, tiled=True)
+        for j in range(k, 0, -1):
+            full = _level_inverse(full, g, h, j, method)
+        local = full
+    sig = local[0]
+    seg = sig.shape[-1] // n_dev
+    idx = lax.axis_index(axis_name)
+    return lax.dynamic_slice_in_dim(sig, idx * seg, seg, axis=-1)
+
+
+def modwpt_sharded(x, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
+                   node_axis: str = "scale", batch_axis: str = "data",
+                   method: str = "direct"):
+    """MODWPT with the packet-node subtrees distributed across chips.
+
+    The shift-invariant counterpart of :func:`wpt_sharded` (reference
+    strategy P1, ``ParallelWaveletPacketTransform.java:188-263``): levels
+    1..k (k = log2(n_dev)) are replicated, then each device owns ONE
+    level-k node and computes its whole subtree — a contiguous sequency
+    block — with **zero communication**.  Output ``(2^level, ..., N)`` has
+    the node axis sharded over ``node_axis``.  Requires
+    ``level ≥ log2(n_dev)``.
+    """
+    x = jnp.asarray(x)
+    n_dev = mesh.shape[node_axis]
+    if n_dev & (n_dev - 1):
+        raise ValueError(f"node mesh axis must be a power of two, "
+                         f"got {n_dev}")
+    k = n_dev.bit_length() - 1
+    if level < k:
+        raise ValueError(
+            f"MODWPT level {level} must be ≥ log2(n_dev)={k} to give every "
+            "device a whole subtree")
+    _check_level(x.shape[-1], level)
+
+    bspec = [None] * x.ndim
+    if batch_axis in mesh.axis_names and x.ndim > 1:
+        bspec[0] = batch_axis
+    in_spec = P(*bspec)
+    out_spec = P(node_axis, *bspec)
+
+    body = functools.partial(_modwpt_subtree_body, wavelet=wavelet,
+                             level=level, k=k, axis_name=node_axis,
+                             method=method)
+    return shard_map(body, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(x)
+
+
+def imodwpt_sharded(y, wavelet: DiscreteWavelet, mesh: Mesh,
+                    node_axis: str = "scale", batch_axis: str = "data",
+                    method: str = "direct"):
+    """Inverse of :func:`modwpt_sharded` (node-sharded in, signal out).
+
+    Local subtrees invert with zero communication; one tiled ``all_gather``
+    reassembles the 2^k level-k nodes before the replicated top-k adjoint —
+    the only collective in the compiled program.  The signal length must be
+    divisible by n_dev (the output is returned slice-distributed and
+    reassembled by the out sharding).
+    """
+    y = jnp.asarray(y)
+    p = y.shape[0]
+    if p < 2 or p & (p - 1):
+        raise ValueError(
+            f"leading axis must be 2^level ≥ 2 packet nodes, got {p}")
+    level = p.bit_length() - 1
+    n_dev = mesh.shape[node_axis]
+    if n_dev & (n_dev - 1):
+        raise ValueError(f"node mesh axis must be a power of two, "
+                         f"got {n_dev}")
+    k = n_dev.bit_length() - 1
+    if level < k:
+        raise ValueError(
+            f"MODWPT level {level} must be ≥ log2(n_dev)={k}")
+    if y.shape[-1] % n_dev:
+        raise ValueError("signal length not divisible by node mesh axis")
+
+    bspec = [None] * (y.ndim - 2)
+    if batch_axis in mesh.axis_names and y.ndim > 2:
+        bspec[0] = batch_axis
+    in_spec = P(node_axis, *bspec, None)
+    out_spec = P(*bspec, node_axis)
+
+    body = functools.partial(_imodwpt_subtree_body, wavelet=wavelet,
+                             level=level, k=k, n_dev=n_dev,
+                             axis_name=node_axis, method=method)
+    return shard_map(body, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(y)
+
+
 def fwt2_sharded(m, wavelet: DiscreteWavelet, mesh: Mesh,
                  batch_axis: str = "data"):
     """2D FWT with rows data-parallel across the mesh (reference P4).

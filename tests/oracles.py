@@ -173,6 +173,42 @@ def imodwt(coeffs, w):
     return v
 
 
+def modwpt(x, w, level):
+    """Maximal-overlap wavelet packet tree, sequency-ordered (Percival &
+    Walden 2000 §6.1: node n from parent ⌊n/2⌋ via g̃ when n mod 4 ∈ {0,3},
+    h̃ when n mod 4 ∈ {1,2}; level-j filters upsampled with 2^(j-1)-1
+    zeros).  Brute-force per-node circular convolutions."""
+    g, h = modwt_filters(w)
+    nodes = [np.asarray(x, dtype=np.float64).copy()]
+    for j in range(1, level + 1):
+        gj, hj = upsample(g, j), upsample(h, j)
+        new = []
+        for n in range(1 << j):
+            f = gj if n % 4 in (0, 3) else hj
+            new.append(circular_convolve(nodes[n // 2], f))
+        nodes = new
+    return np.stack(nodes)
+
+
+def imodwpt(coeffs, w):
+    """Adjoint packet cascade: parent = Σ adjoint-conv of its two children
+    (filter assignment by the same sequency rule)."""
+    g, h = modwt_filters(w)
+    level = int(np.log2(coeffs.shape[0]))
+    nodes = [coeffs[n].copy() for n in range(coeffs.shape[0])]
+    for j in range(level, 0, -1):
+        gj, hj = upsample(g, j), upsample(h, j)
+        new = []
+        for p in range(len(nodes) // 2):
+            acc = np.zeros_like(nodes[0])
+            for n in (2 * p, 2 * p + 1):
+                f = gj if n % 4 in (0, 3) else hj
+                acc += circular_convolve_adjoint(nodes[n], f)
+            new.append(acc)
+        nodes = new
+    return nodes[0]
+
+
 # ---------------------------------------------------------------------------
 # CWT (FFT path) oracle — numpy re-statement of the reference's transformFFT
 # (ContinuousWaveletTransform.java:183-229): pad to next pow-2, one FFT,

@@ -218,6 +218,63 @@ def test_iwpt_sharded_roundtrip_and_single_gather(rng):
 
 
 @needs8
+def test_modwpt_node_sharded_matches(rng):
+    """Sequency blocks are contiguous per device and the traced parity swap
+    at the first local level lands every node exactly where the unsharded
+    transform puts it (odd- and even-indexed devices take different filter
+    assignments)."""
+    from jwave_pro_tpu.parallel.sharded import modwpt_sharded
+    mesh = make_mesh({"scale": 8})
+    x = rng.standard_normal(96)
+    for level in (3, 5):  # level == k and level > k
+        got = np.asarray(modwpt_sharded(x, DB4, level, mesh))
+        want = np.asarray(jw.modwpt(x, DB4, level))
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@needs8
+def test_modwpt_sharded_subtree_locality(rng):
+    from jwave_pro_tpu.parallel.sharded import modwpt_sharded
+    mesh = make_mesh({"scale": 8})
+    x = jnp.asarray(rng.standard_normal(96), jnp.float64)
+    fn = jax.jit(lambda v: modwpt_sharded(v, DB4, 4, mesh))
+    hlo = fn.lower(x).compile().as_text()
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, f"unexpected collectives in sharded MODWPT HLO: {found}"
+
+
+@needs8
+def test_imodwpt_sharded_roundtrip_and_single_gather(rng):
+    from jwave_pro_tpu.parallel.sharded import (imodwpt_sharded,
+                                                modwpt_sharded)
+    mesh = make_mesh({"scale": 8})
+    x = jnp.asarray(rng.standard_normal(128), jnp.float64)
+    y = modwpt_sharded(x, DB4, 4, mesh)
+    xr = np.asarray(imodwpt_sharded(y, DB4, mesh))
+    np.testing.assert_allclose(xr, np.asarray(x), atol=1e-8)
+    fn = jax.jit(lambda v: imodwpt_sharded(v, DB4, mesh))
+    hlo = fn.lower(y).compile().as_text()
+    assert hlo.count("all-gather-start") <= 1
+    others = [c for c in _COLLECTIVES if c != "all-gather" and c in hlo]
+    assert not others, f"unexpected collectives in sharded iMODWPT: {others}"
+
+
+@needs8
+def test_modwpt_sharded_batched(rng):
+    from jwave_pro_tpu.parallel.sharded import (imodwpt_sharded,
+                                                modwpt_sharded)
+    mesh = make_mesh({"data": 2, "scale": 4})
+    x = rng.standard_normal((4, 64))
+    got = np.asarray(modwpt_sharded(x, DB4, 2, mesh, node_axis="scale",
+                                    batch_axis="data"))
+    want = np.asarray(jw.modwpt(x, DB4, 2))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    xr = np.asarray(imodwpt_sharded(jnp.asarray(got), DB4, mesh,
+                                    node_axis="scale", batch_axis="data"))
+    np.testing.assert_allclose(xr, x, atol=1e-8)
+
+
+@needs8
 def test_wpt_sharded_batched_shallow(rng):
     """level < log2(n_dev) degenerates to distributed storage; batched in."""
     from jwave_pro_tpu.parallel.sharded import iwpt_sharded

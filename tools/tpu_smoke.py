@@ -69,6 +69,10 @@ def main():
     ok &= check("wpt sym8 L6 roundtrip", err, 1e-3)
 
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.imodwpt(jw.modwpt(v, w, 3), w) - v)))(x))
+    ok &= check("modwpt db4 L3 roundtrip", err, 1e-4)
+
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
         jw.modwt_correlation(v, v, w, 4) - 1.0)))(x[0]))
     ok &= check("modwt self-correlation ≡ 1", err, 1e-4)
 
