@@ -1,0 +1,406 @@
+"""Fused multi-level MODWPT (shift-invariant packet tree) Pallas kernel.
+
+Same traffic rationale as the MODWT kernel (kernels/modwt_pallas.py): the
+XLA path writes every level's 2^j nodes to HBM and re-reads them as the next
+level's parents — Σ_j 3·2^j ≈ 3·2^(L+1) N-rows of traffic for an L-level
+tree.  This kernel keeps the whole binary cascade in VMEM: one DMA of the
+(circularly contexted) signal window per tile, all 2^L leaf nodes computed
+via statically-shifted `pltpu.roll` slices, one write per node row — the
+HBM floor of (1 read + 2^L writes) per sample.
+
+The packet cascade is the MODWT kernel's level loop with the V-chain
+replaced by a *list* of live nodes: level j convolves each of the 2^(j-1)
+parents with both (g̃, h̃) à-trous filters (shared rolled segments), and the
+sequency reorder — ``nat = n XOR ((n >> 1) & 1)``, see ops/modwpt.py — is a
+free static permutation of the Python list.  Each leaf is a cascade of L
+dilated convs with dilations 1, 2, …, 2^(L-1), so the left-context
+requirement is (M-1)·(2^L - 1) — identical to the MODWT halo — and one
+shared halo serves every node.
+
+VMEM is the binding constraint (2^L live node rows instead of 2): the plan
+function accounts peak live values (3·2^(L-1) rows during the last level),
+the revolving input buffers, and the double-buffered blocked output, and
+shrinks the tile until the total fits.  Folding for small batches and the
+in-kernel circular-context DMAs are inherited from the MODWT kernel.
+
+Semantics are identical to ops/modwpt.py's direct path (sequency-ordered
+Percival & Walden §6.1 tree; the reference ships the decimated packet
+engine ``WaveletPacketTransform.java:73-189`` — this is its shift-invariant
+completion).  Tests pin the kernel against the XLA path in interpret mode;
+the public API falls back for unsupported shapes/dtypes/backends.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..wavelets.base import DiscreteWavelet
+from ..ops.modwt import _check_level, modwt_base_filters
+from .modwt_pallas import (
+    DEFAULT_TILE, _aligned_halo, _f32, _fold_heads, _fold_tails,
+    _pick_interpret, _pick_sublanes,
+)
+
+__all__ = ["modwpt_fused", "imodwpt_fused", "pallas_supported"]
+
+VMEM_BUDGET = 13 * 2 ** 20   # leave headroom under the 16 MB scoped limit
+
+
+def _seq_perm(num_children: int) -> list[int]:
+    return [n ^ ((n >> 1) & 1) for n in range(num_children)]
+
+
+def _vmem_bytes(sublanes: int, tile: int, halo: int, level: int,
+                itemsize: int, inverse: bool) -> int:
+    width = halo + tile
+    nodes = 1 << level
+    # peak live f32 node values: parents + children during the last level
+    vals = 3 * (nodes // 2) * sublanes * width * 4
+    if inverse:
+        bufs = 2 * nodes * sublanes * width * itemsize   # revolving input
+        out = 2 * sublanes * tile * itemsize             # blocked output ×2
+    else:
+        bufs = 2 * sublanes * width * itemsize
+        out = 2 * nodes * sublanes * tile * itemsize
+    return vals + bufs + out
+
+
+def pallas_supported(batch: int, n: int, level: int, m: int,
+                     tile: int = DEFAULT_TILE, itemsize: int = 4,
+                     inverse: bool = False):
+    """Return a (sublanes, tile, fold) plan, or None if the kernel can't run.
+
+    Mirrors ``modwt_pallas.pallas_supported`` (smallest workable fold wins;
+    see its docstring for the measured fold-cost rationale) with an extra
+    VMEM constraint: 2^level live node rows shrink the feasible tile.
+    """
+    halo = _aligned_halo(m, level)
+
+    def tile_for(nloc: int, sub: int) -> int | None:
+        t = min(tile, nloc)
+        while t >= 512:
+            if (nloc % t == 0 and halo < t and
+                    _vmem_bytes(sub, t, halo, level, itemsize, inverse)
+                    <= VMEM_BUDGET):
+                return t
+            t //= 2
+        return None
+
+    sub = _pick_sublanes(batch)
+    if sub is not None:
+        t = tile_for(n, sub)
+        if t is not None:
+            return (sub, t, 1)
+    fallback = None
+    for fold in (2, 4, 8, 16, 32):
+        if n % fold:
+            continue
+        sub = _pick_sublanes(batch * fold)
+        if sub is None:
+            continue
+        t = tile_for(n // fold, sub)
+        if t is None:
+            continue
+        if sub == 16:
+            return (sub, t, fold)
+        if fallback is None:
+            fallback = (sub, t, fold)
+    return fallback
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _forward_kernel(x_hbm, tails_hbm, out_ref, bufs, sems_m, sems_h, *, g, h,
+                    level, halo, tile, sublanes, out_dtype):
+    """One grid step: window (S, halo + tile) → out (2^level, S, tile).
+
+    Input windows revolve through two VMEM buffers (next grid step's window
+    prefetched during compute); the circular left context is assembled
+    in-kernel from the tile-major ``tails_hbm`` table — both patterns are
+    documented in modwt_pallas._forward_kernel.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    m = len(g)
+    step = i * nj + j
+    slot = step % 2
+
+    def dmas(sl, ii, jj):
+        rows = pl.ds(ii * sublanes, sublanes)
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[rows, pl.ds(jj * tile, tile)],
+                bufs.at[sl, :, pl.ds(halo, tile)], sems_m.at[sl]),
+            pltpu.make_async_copy(
+                tails_hbm.at[jj, rows],
+                bufs.at[sl, :, pl.ds(0, halo)], sems_h.at[sl]),
+        )
+
+    def start(sl, ii, jj):
+        for d in dmas(sl, ii, jj):
+            d.start()
+
+    @pl.when(step == 0)
+    def _():
+        start(slot, i, j)
+
+    last_j = j == nj - 1
+    nxt_i = jnp.where(last_j, i + 1, i)
+    nxt_j = jnp.where(last_j, 0, j + 1)
+
+    @pl.when(step + 1 < ni * nj)
+    def _():
+        start((step + 1) % 2, nxt_i, nxt_j)
+
+    for d in dmas(slot, i, j):
+        d.wait()
+    nodes = [_f32(bufs[slot])]  # (S, halo + tile); garbage creeps from left
+    for lvl in range(1, level + 1):
+        d = 1 << (lvl - 1)
+        new = []
+        for parent in nodes:
+            v_acc = None
+            w_acc = None
+            for k in range(m):
+                # output[n] needs input[n - k·d] → roll right by k·d
+                seg = pltpu.roll(parent, k * d, 1) if k else parent
+                v_acc = g[k] * seg if v_acc is None else v_acc + g[k] * seg
+                w_acc = h[k] * seg if w_acc is None else w_acc + h[k] * seg
+            new.append(v_acc)
+            new.append(w_acc)
+        nodes = [new[p] for p in _seq_perm(len(new))]
+    for idx, node in enumerate(nodes):
+        out_ref[idx, :, :] = node[:, halo:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "level", "tile",
+                                             "interpret"))
+def _modwpt_fused_impl(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+                       tile: int = DEFAULT_TILE,
+                       interpret: bool | None = None) -> jax.Array:
+    """Fused forward MODWPT: x (B, N) → (2^level, B, N); (N,) → (2^level, N)
+    (1D fast path — see modwt_pallas on the degenerate (1, N) layout)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x.reshape(1, -1)
+    b, n = x.shape
+    _check_level(n, level)
+    g64, h64 = modwt_base_filters(wavelet)
+    m = int(g64.shape[0])
+    sup = pallas_supported(b, n, level, m, tile)
+    if sup is None:
+        raise ValueError(f"unsupported shape {x.shape} for fused MODWPT")
+    sublanes, tile, fold = sup
+    halo = _aligned_halo(m, level)
+    dt = x.dtype
+    g = tuple(np.asarray(g64, dtype=np.float32))
+    h = tuple(np.asarray(h64, dtype=np.float32))
+    rows, nloc = b * fold, n // fold
+    xr, tails = _fold_tails(x, fold, halo, tile)
+    num_nodes = 1 << level
+
+    kernel = functools.partial(_forward_kernel, g=g, h=h, level=level,
+                               halo=halo, tile=tile, sublanes=sublanes,
+                               out_dtype=dt)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // sublanes, nloc // tile),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((num_nodes, sublanes, tile),
+                               lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_nodes, rows, nloc), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, sublanes, halo + tile), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_pick_interpret(interpret),
+    )(xr, tails)
+    if squeeze:
+        return out.reshape(num_nodes, n)
+    if fold > 1:
+        out = out.reshape(num_nodes, b, n)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Inverse
+# ---------------------------------------------------------------------------
+
+def _inverse_kernel(c_hbm, heads_hbm, out_ref, bufs, sems_m, sems_h, *, g, h,
+                    level, halo, tile, sublanes, out_dtype):
+    """One grid step of the inverse: (2^level, S, tile + halo) windows →
+    signal tile (S, tile).
+
+    Unlike the MODWT inverse (which streams W rows level-by-level), the
+    packet adjoint consumes ALL 2^level leaves at the first (deepest) level,
+    so the whole window block is DMA'd at once; the two revolving slots
+    prefetch the next grid step's block during compute.  Pairs are combined
+    BEFORE rolling (one roll per tap per parent, modwt_pallas trick); the
+    circular right context comes from the tile-major ``heads_hbm`` table.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    m = len(g)
+    step = i * nj + j
+    slot = step % 2
+    width = tile + halo
+
+    def dmas(sl, ii, jj):
+        rows = pl.ds(ii * sublanes, sublanes)
+        return (
+            pltpu.make_async_copy(
+                c_hbm.at[:, rows, pl.ds(jj * tile, tile)],
+                bufs.at[sl, :, :, pl.ds(0, tile)], sems_m.at[sl]),
+            pltpu.make_async_copy(
+                heads_hbm.at[:, jj, rows],
+                bufs.at[sl, :, :, pl.ds(tile, halo)], sems_h.at[sl]),
+        )
+
+    def start(sl, ii, jj):
+        for d in dmas(sl, ii, jj):
+            d.start()
+
+    @pl.when(step == 0)
+    def _():
+        start(slot, i, j)
+
+    last_j = j == nj - 1
+    nxt_i = jnp.where(last_j, i + 1, i)
+    nxt_j = jnp.where(last_j, 0, j + 1)
+
+    @pl.when(step + 1 < ni * nj)
+    def _():
+        start((step + 1) % 2, nxt_i, nxt_j)
+
+    for d in dmas(slot, i, j):
+        d.wait()
+    nodes = [_f32(bufs[slot, r]) for r in range(1 << level)]
+    for lvl in range(level, 0, -1):
+        d = 1 << (lvl - 1)
+        nat = [nodes[p] for p in _seq_perm(len(nodes))]
+        parents = []
+        for p in range(len(nodes) // 2):
+            acc = None
+            for k in range(m):
+                # adj: out[n] = Σ_k g[k]·cg[n+kd] + h[k]·ch[n+kd]; combine
+                # the siblings before rolling (left kd ≡ right width−kd)
+                t = g[k] * nat[2 * p] + h[k] * nat[2 * p + 1]
+                t = pltpu.roll(t, width - k * d, 1) if k else t
+                acc = t if acc is None else acc + t
+            parents.append(acc)
+        nodes = parents
+    out_ref[:, :] = nodes[0][:, :tile].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "tile", "interpret"))
+def _imodwpt_fused_impl(c: jax.Array, wavelet: DiscreteWavelet,
+                        tile: int = DEFAULT_TILE,
+                        interpret: bool | None = None) -> jax.Array:
+    """Fused inverse MODWPT: (2^level, B, N) → (B, N); (2^level, N) → (N,)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    squeeze = c.ndim == 2
+    if squeeze:
+        c = c.reshape(c.shape[0], 1, c.shape[1])
+    num_nodes, b, n = c.shape
+    level = num_nodes.bit_length() - 1
+    g64, h64 = modwt_base_filters(wavelet)
+    m = int(g64.shape[0])
+    sup = pallas_supported(b, n, level, m, tile, inverse=True)
+    if sup is None:
+        raise ValueError(f"unsupported shape {c.shape} for fused iMODWPT")
+    sublanes, tile, fold = sup
+    halo = _aligned_halo(m, level)
+    dt = c.dtype
+    g = tuple(np.asarray(g64, dtype=np.float32))
+    h = tuple(np.asarray(h64, dtype=np.float32))
+    krows, nloc = b * fold, n // fold
+    cr, heads = _fold_heads(c, fold, halo, tile)
+
+    kernel = functools.partial(_inverse_kernel, g=g, h=h, level=level,
+                               halo=halo, tile=tile, sublanes=sublanes,
+                               out_dtype=dt)
+    out = pl.pallas_call(
+        kernel,
+        grid=(krows // sublanes, nloc // tile),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((sublanes, tile), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((krows, nloc), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, num_nodes, sublanes, tile + halo), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_pick_interpret(interpret),
+    )(cr, heads)
+    if squeeze:
+        return out.reshape(n)
+    if fold > 1:
+        out = out.reshape(b, n)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Autodiff: the MODWPT analysis operator shares the MODWT's Aᵀ = A⁻¹
+# property (each level is the same √2-normalized PR filter pair applied to
+# every node, so per-level analysis steps are orthogonal maps and the
+# sequency reorder is a permutation) — each kernel's VJP is the other.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def modwpt_fused(x, wavelet, level, tile=DEFAULT_TILE, interpret=None):
+    """Fused forward MODWPT: (B, N) → (2^level, B, N); differentiable."""
+    return _modwpt_fused_impl(x, wavelet, level, tile, interpret)
+
+
+def _modwpt_fwd(x, wavelet, level, tile, interpret):
+    return _modwpt_fused_impl(x, wavelet, level, tile, interpret), None
+
+
+def _modwpt_bwd(wavelet, level, tile, interpret, _, cot):
+    return (_imodwpt_fused_impl(cot, wavelet, tile, interpret),)
+
+
+modwpt_fused.defvjp(_modwpt_fwd, _modwpt_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def imodwpt_fused(c, wavelet, tile=DEFAULT_TILE, interpret=None):
+    """Fused inverse MODWPT: (2^level, B, N) → (B, N); differentiable."""
+    return _imodwpt_fused_impl(c, wavelet, tile, interpret)
+
+
+def _imodwpt_fwd(c, wavelet, tile, interpret):
+    return _imodwpt_fused_impl(c, wavelet, tile, interpret), c.shape[0] - 1
+
+
+def _imodwpt_bwd(wavelet, tile, interpret, level, cot):
+    return (_modwpt_fused_impl(cot, wavelet, level, tile, interpret),)
+
+
+imodwpt_fused.defvjp(_imodwpt_fwd, _imodwpt_bwd)

@@ -74,6 +74,36 @@ def modwpt_node_path(level: int, node: int) -> list[str]:
     return list(reversed(path))
 
 
+def _try_pallas(x, wavelet, level, inverse=False):
+    """Dispatch to the fused TPU kernel when shape/dtype/backend allow."""
+    if jax.default_backend() != "tpu":
+        return None
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    from ..kernels import modwpt_pallas as kp
+
+    if inverse:
+        if x.ndim == 3:
+            nodes, b, n = x.shape
+        elif x.ndim == 2:
+            (nodes, n), b = x.shape, 1
+        else:
+            return None
+        if kp.pallas_supported(b, n, nodes.bit_length() - 1, wavelet.length,
+                               inverse=True) is None:
+            return None
+        return kp.imodwpt_fused(x, wavelet)
+    if x.ndim == 2:
+        b, n = x.shape
+    elif x.ndim == 1:
+        (n,), b = x.shape, 1
+    else:
+        return None
+    if kp.pallas_supported(b, n, level, wavelet.length) is None:
+        return None
+    return kp.modwpt_fused(x, wavelet, level)
+
+
 def _level_forward(parents: jax.Array, g, h, j: int, method: str
                    ) -> jax.Array:
     """(P, ..., N) level-(j-1) nodes → (2P, ..., N) level-j nodes (sequency)."""
@@ -100,7 +130,7 @@ def _level_inverse(children: jax.Array, g, h, j: int, method: str
 
 
 def modwpt(x: jax.Array, wavelet: DiscreteWavelet, level: int,
-           method: str = "direct") -> jax.Array:
+           method: str = "auto") -> jax.Array:
     """Forward MODWPT on the last axis: ``(..., N) → (2^level, ..., N)``.
 
     Node axis is sequency-ordered (node n ≈ band ``[n, n+1)·fs/2^(level+1)``).
@@ -108,13 +138,24 @@ def modwpt(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     (``Σ_n ‖W_{level,n}‖² = ‖x‖²``).  Node 0 equals the MODWT's V_level and
     node 1 its W_level.
 
-    ``method``: 'direct' (dilated à-trous conv), 'fft', 'auto', or
-    'auto_reference' — the :func:`..modwt.modwt` convolution engines.
+    ``method``: 'direct' (dilated à-trous conv), 'fft', 'pallas' (fused TPU
+    kernel, kernels/modwpt_pallas.py), 'auto' (fused kernel on TPU when the
+    shape allows, else the cost model), or 'auto_reference' — the
+    :func:`..modwt.modwt` convolution engines.
     """
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(jnp.float32)
     _check_level(x.shape[-1], level)
+    if method in ("auto", "pallas"):
+        out = _try_pallas(x, wavelet, level)
+        if out is not None:
+            return out
+        if method == "pallas":
+            raise ValueError(
+                f"fused kernel unavailable for shape {x.shape} dtype "
+                f"{x.dtype} on backend {jax.default_backend()}")
+        method = "auto"
     g, h = modwt_base_filters(wavelet)
     nodes = x[jnp.newaxis]
     for j in range(1, level + 1):
@@ -123,7 +164,7 @@ def modwpt(x: jax.Array, wavelet: DiscreteWavelet, level: int,
 
 
 def imodwpt(coeffs: jax.Array, wavelet: DiscreteWavelet,
-            method: str = "direct") -> jax.Array:
+            method: str = "auto") -> jax.Array:
     """Inverse MODWPT: ``(2^level, ..., N) → (..., N)``.
 
     Adjoint cascade (the packet analog of ``MODWTTransform.inverseMODWT``,
@@ -136,6 +177,15 @@ def imodwpt(coeffs: jax.Array, wavelet: DiscreteWavelet,
         raise ValueError(
             f"leading axis must be 2^level ≥ 2 packet nodes, got {p}")
     level = p.bit_length() - 1
+    if method in ("auto", "pallas"):
+        out = _try_pallas(coeffs, wavelet, level, inverse=True)
+        if out is not None:
+            return out
+        if method == "pallas":
+            raise ValueError(
+                f"fused kernel unavailable for shape {coeffs.shape} dtype "
+                f"{coeffs.dtype} on backend {jax.default_backend()}")
+        method = "auto"
     g, h = modwt_base_filters(wavelet)
     nodes = coeffs
     for j in range(level, 0, -1):

@@ -345,3 +345,77 @@ class TestModwt2Fused:
         np.testing.assert_allclose(rt2, x, atol=1e-4)
         with np.testing.assert_raises(ValueError):
             imodwt2_fused(np.zeros((5, 64, 256), np.float32), w)  # 5%3!=2
+
+
+class TestModwptFused:
+    """Fused packet-tree kernel (kernels/modwpt_pallas.py) — interpret mode
+    vs the XLA sequency-ordered path (itself oracle-pinned)."""
+
+    @pytest.mark.parametrize("batch,n,level", [
+        (8, 2048, 3),      # unfolded, 8 sublanes
+        (16, 2048, 2),     # unfolded, 16 sublanes
+        (1, 16384, 3),     # batch=1 → folded
+        (2, 8192, 4),      # small batch → folded, 16 nodes
+    ])
+    def test_forward_matches_xla(self, batch, n, level, rng):
+        from jwave_pro_tpu.kernels.modwpt_pallas import (
+            modwpt_fused, pallas_supported)
+        x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+        assert pallas_supported(batch, n, level, DB4.length) is not None
+        got = np.asarray(modwpt_fused(x, DB4, level, interpret=True))
+        want = np.asarray(jw.modwpt(np.asarray(x, np.float64), DB4, level,
+                                    method="direct"))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    @pytest.mark.parametrize("batch,n,level", [
+        (8, 2048, 3),
+        (1, 16384, 3),
+    ])
+    def test_roundtrip(self, batch, n, level, rng):
+        from jwave_pro_tpu.kernels.modwpt_pallas import (
+            imodwpt_fused, modwpt_fused)
+        x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+        c = modwpt_fused(x, DB4, level, interpret=True)
+        xr = np.asarray(imodwpt_fused(c, DB4, interpret=True))
+        np.testing.assert_allclose(xr, np.asarray(x), atol=2e-5)
+
+    def test_inverse_of_xla_forward(self, rng):
+        from jwave_pro_tpu.kernels.modwpt_pallas import imodwpt_fused
+        x = rng.standard_normal((8, 2048))
+        c = jnp.asarray(np.asarray(
+            jw.modwpt(x, DB4, 3, method="direct")), jnp.float32)
+        xr = np.asarray(imodwpt_fused(c, DB4, interpret=True))
+        np.testing.assert_allclose(xr, x, atol=2e-5)
+
+    def test_1d_contract(self, rng):
+        from jwave_pro_tpu.kernels.modwpt_pallas import (
+            imodwpt_fused, modwpt_fused)
+        n = 1 << 14
+        x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        c = modwpt_fused(x, DB4, 3, interpret=True)
+        assert c.shape == (8, n)
+        want = np.asarray(jw.modwpt(np.asarray(x, np.float64), DB4, 3,
+                                    method="direct"))
+        np.testing.assert_allclose(np.asarray(c), want, atol=2e-5)
+        xr = np.asarray(imodwpt_fused(c, DB4, interpret=True))
+        assert xr.shape == (n,)
+        np.testing.assert_allclose(xr, np.asarray(x), atol=2e-5)
+
+    def test_vmem_plan_shrinks_tile_with_level(self):
+        from jwave_pro_tpu.kernels.modwpt_pallas import pallas_supported
+        # deeper trees hold 2^L live rows → the plan must shrink the tile
+        _, t3, _ = pallas_supported(32, 1 << 18, 3, 8)
+        _, t5, _ = pallas_supported(32, 1 << 18, 5, 8)
+        assert t5 < t3
+        # inverse holds 2·2^L window buffers → at most the forward's tile
+        _, t5i, _ = pallas_supported(32, 1 << 18, 5, 8, inverse=True)
+        assert t5i <= t5
+
+    def test_grad_through_fused(self, rng):
+        import jax
+        from jwave_pro_tpu.kernels.modwpt_pallas import modwpt_fused
+        x = jnp.asarray(rng.standard_normal((8, 2048)), jnp.float32)
+        g = jax.grad(lambda v: jnp.sum(
+            modwpt_fused(v, DB4, 2, 8192, True) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x),
+                                   atol=1e-4)

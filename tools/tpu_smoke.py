@@ -70,7 +70,12 @@ def main():
 
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
         jw.imodwpt(jw.modwpt(v, w, 3), w) - v)))(x))
-    ok &= check("modwpt db4 L3 roundtrip", err, 1e-4)
+    ok &= check("modwpt db4 L3 roundtrip (auto→fused)", err, 1e-4)
+
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.modwpt(v, w, 3, method="pallas")
+        - jw.modwpt(v, w, 3, method="direct"))))(x))
+    ok &= check("fused modwpt ≡ xla direct", err, 1e-5)
 
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
         jw.modwt_correlation(v, v, w, 4) - 1.0)))(x[0]))
