@@ -216,6 +216,133 @@ def _forward_kernel(x_hbm, tails_hbm, out_ref, bufs, sems_m, sems_h, *, g, h,
     out_ref[level, :, :] = v[:, halo:].astype(out_dtype)
 
 
+def _forward_kernel_flat(x_hbm, tails_hbm, out_hbm, bufs, *scratch, g, h,
+                         level, halo, tile, sublanes, nloc, out_dtype):
+    """Flat-output variant for the 1D (N,) contract: the level cascade is
+    identical to :func:`_forward_kernel`, but rows are staged in VMEM and
+    DMA'd straight into the final (level+1, N) layout — fold row r's tile j
+    lands at ``out[:, r·nloc + j·tile]``, a fully-aligned (level+1, tile)
+    sublane×lane block.  This removes the XLA relayout of the folded
+    (level+1, rows, nloc) result into (level+1, N) (the fold dim is a
+    SUBLANE dim, so that reshape is a cross-tile shuffle with ~8× write
+    amplification — measured 2.9 G through the staged-reshape contract vs
+    ~5 G kernel ceiling; see docs/PERFORMANCE.md batch-1 note).
+
+    The output DMAs (one (level+1, tile) block per fold row) are started
+    after the cascade and waited before the step ends — at ~level·tile·4
+    bytes per row they are ≪ the cascade's compute time, so no revolving
+    slot is needed for the stage buffer.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    stages, sems_m, sems_h, sems_o = scratch  # stages: (2·S, padded, tile)
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    m = len(g)
+    step = i * nj + j
+    slot = step % 2
+
+    def dmas(sl, ii, jj):
+        rows = pl.ds(ii * sublanes, sublanes)
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[rows, pl.ds(jj * tile, tile)],
+                bufs.at[sl, :, pl.ds(halo, tile)], sems_m.at[sl]),
+            pltpu.make_async_copy(
+                tails_hbm.at[jj, rows],
+                bufs.at[sl, :, pl.ds(0, halo)], sems_h.at[sl]),
+        )
+
+    def start(sl, ii, jj):
+        for d in dmas(sl, ii, jj):
+            d.start()
+
+    @pl.when(step == 0)
+    def _():
+        start(slot, i, j)
+
+    last_j = j == nj - 1
+    nxt_i = jnp.where(last_j, i + 1, i)
+    nxt_j = jnp.where(last_j, 0, j + 1)
+
+    @pl.when(step + 1 < ni * nj)
+    def _():
+        start((step + 1) % 2, nxt_i, nxt_j)
+
+    for d in dmas(slot, i, j):
+        d.wait()
+    v = _f32(bufs[slot])
+    rows = []
+    for lvl in range(1, level + 1):
+        d = 1 << (lvl - 1)
+        w_acc = None
+        v_acc = None
+        for k in range(m):
+            seg = pltpu.roll(v, k * d, 1) if k else v
+            w_acc = h[k] * seg if w_acc is None else w_acc + h[k] * seg
+            v_acc = g[k] * seg if v_acc is None else v_acc + g[k] * seg
+        rows.append(w_acc[:, halo:])
+        v = v_acc
+    rows.append(v[:, halo:])
+    # Pad the row set to the 8-sublane tiling: Mosaic requires EVERY memref
+    # slice extent on a sublane dim to be 8-aligned — source (VMEM) and
+    # destination (HBM) alike — so (level+1, tile) blocks are only
+    # DMA-able when level+1 is a multiple of 8.  The padded rows land in
+    # out[level+1:], which the caller slices off lazily (the (padded, N)
+    # and (level+1, N) layouts are byte-identical, so the slice fuses into
+    # consumers instead of forcing a relayout pass).
+    pad = -(-(level + 1) // 8) * 8 - (level + 1)
+    rows.extend(rows[-1:] * pad)
+    def out_dmas(sl, ii, jj):
+        copies = []
+        for s in range(sublanes):
+            off = (ii * sublanes + s) * nloc + jj * tile
+            copies.append(pltpu.make_async_copy(
+                stages.at[sl * sublanes + s],
+                out_hbm.at[:, pl.ds(off, tile)],
+                sems_o.at[sl * sublanes + s]))
+        return copies
+
+    # the stage slots revolve like the input buffers: wait for the copies
+    # issued two steps ago before overwriting that slot, so each step's out
+    # DMAs overlap the NEXT step's cascade instead of draining in-step
+    prv = step - 2
+    prv_i, prv_j = prv // nj, prv % nj
+
+    @pl.when(step >= 2)
+    def _():
+        for c in out_dmas(slot, prv_i, prv_j):
+            c.wait()
+
+    # fold-row-major staging: stage_s holds fold row s's block as a FULL
+    # memref (per-row slicing of one shared buffer is exactly the
+    # forbidden sublane-granularity slice).  t[s] selects along the
+    # value's untiled dim.
+    t = jnp.swapaxes(jnp.stack(rows, axis=0), 0, 1).astype(out_dtype)
+    for s in range(sublanes):
+        stages[slot * sublanes + s, :, :] = t[s]
+
+    for c in out_dmas(slot, i, j):
+        c.start()
+
+    total = ni * nj
+
+    @pl.when(step == total - 1)
+    def _():
+        for c in out_dmas(slot, i, j):
+            c.wait()
+
+    @pl.when((step == total - 1) & (total > 1))
+    def _():
+        lst = step - 1
+        for c in out_dmas(1 - slot, lst // nj, lst % nj):
+            c.wait()
+
+
 def _fold_tails(x, fold, halo, tile):
     """(B, N) → ((B·F, N/F) rows, (nj, B·F, halo) per-tile left context).
 
@@ -276,6 +403,36 @@ def _modwt_fused_impl(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     h = tuple(np.asarray(h64, dtype=np.float32))
     rows, nloc = b * fold, n // fold
     xr, tails = _fold_tails(x, fold, halo, tile)
+
+    if squeeze and level >= 4:
+        # 1D contract: DMA rows straight into the (level+1, N) layout — no
+        # XLA relayout of the folded result (see _forward_kernel_flat).
+        # Rows are padded to the 8-sublane tiling; the returned slice is
+        # layout-preserving (fuses into consumers).  For shallow levels
+        # the padding waste (8 written rows vs level+1) exceeds the
+        # relayout cost, so they keep the reshape path below.
+        padded = -(-(level + 1) // 8) * 8
+        kernel = functools.partial(_forward_kernel_flat, g=g, h=h,
+                                   level=level, halo=halo, tile=tile,
+                                   sublanes=sublanes, nloc=nloc,
+                                   out_dtype=dt)
+        out = pl.pallas_call(
+            kernel,
+            grid=(rows // sublanes, nloc // tile),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((padded, n), dt),
+            scratch_shapes=[
+                pltpu.VMEM((2, sublanes, halo + tile), dt),
+                pltpu.VMEM((2 * sublanes, padded, tile), dt),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2 * sublanes,)),
+            ],
+            interpret=_pick_interpret(interpret),
+        )(xr, tails)
+        return out[:level + 1]
 
     kernel = functools.partial(_forward_kernel, g=g, h=h, level=level,
                                halo=halo, tile=tile, sublanes=sublanes,
