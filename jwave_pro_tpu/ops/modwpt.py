@@ -49,6 +49,8 @@ from .modwt import (
 __all__ = [
     "modwpt", "imodwpt", "modwpt_tree", "modwpt_mra",
     "modwpt_best_basis", "modwpt_basis_reconstruct", "modwpt_node_path",
+    "modwpt2", "imodwpt2", "modwpt2_tree", "modwpt2_best_basis",
+    "modwpt2_basis_reconstruct",
 ]
 
 
@@ -303,3 +305,169 @@ def modwpt_basis_reconstruct(tree, masks, wavelet: DiscreteWavelet,
         parents = _level_inverse(cur, g, h, l, method)
         cur = parents + mask_mul(tree[l - 1], masks[l - 1])
     return cur[0]
+
+
+# ---------------------------------------------------------------------------
+# 2D MODWPT — shift-invariant quad-tree (tensor product of two 1D trees)
+# ---------------------------------------------------------------------------
+
+def modwpt2(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+            method: str = "auto") -> jax.Array:
+    """2D MODWPT: ``(..., R, C) → (2^level, 2^level, ..., R, C)``.
+
+    The undecimated quad-tree completing the 2D transform matrix the same
+    way :func:`modwpt` completes the 1D one (fwt2 : modwt2 :: wpt2 :
+    modwpt2); separability makes it the tensor product of two 1D packet
+    trees, so node ``(n_r, n_c)`` applies the row cascade of 1D node
+    ``n_r`` and the column cascade of node ``n_c`` — both axes sequency-
+    ordered (node (n_r, n_c) ≈ the 2D frequency cell
+    ``[n_r, n_r+1)×[n_c, n_c+1) · fs/2^(level+1)``).  Node (0, 0) equals
+    the 2D MODWT's LL_level.  Exactly shift-invariant in both axes;
+    every level preserves energy.
+
+    Computed as two big-batch 1D transforms (rows then columns, the
+    orthogonal-axis samples flattened into the batch) so the fused TPU
+    kernel applies to both passes.
+    """
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(jnp.float32)
+    if x.ndim < 2:
+        raise ValueError("modwpt2 needs at least 2 dims (..., R, C)")
+    *lead, r, c = x.shape
+    _check_level(r, level)
+    _check_level(c, level)
+    p = 1 << level
+    xt = jnp.swapaxes(x, -1, -2).reshape(-1, r)        # (B·C, R)
+    nr = modwpt(xt, wavelet, level, method)            # (P, B·C, R)
+    nr = jnp.swapaxes(nr.reshape([p] + lead + [c, r]), -1, -2)
+    nc = modwpt(nr.reshape(-1, c), wavelet, level, method)   # (P, P·B·R, C)
+    nc = nc.reshape([p, p] + lead + [r, c])            # (n_col, n_row, ...)
+    return jnp.swapaxes(nc, 0, 1)
+
+
+def imodwpt2(coeffs: jax.Array, wavelet: DiscreteWavelet,
+             method: str = "auto") -> jax.Array:
+    """Inverse 2D MODWPT: ``(2^level, 2^level, ..., R, C) → (..., R, C)``."""
+    coeffs = jnp.asarray(coeffs)
+    if coeffs.ndim < 4:
+        raise ValueError(
+            "imodwpt2 expects (nodes_r, nodes_c, ..., R, C)")
+    pr, pc = coeffs.shape[0], coeffs.shape[1]
+    if pr != pc or pr < 2 or pr & (pr - 1):
+        raise ValueError(
+            f"leading node axes must be equal powers of two ≥ 2, got "
+            f"({pr}, {pc})")
+    *lead, r, c = coeffs.shape[2:]
+    t = jnp.swapaxes(coeffs, 0, 1)                     # (n_col, n_row, ...)
+    sig_r = imodwpt(t.reshape(pc, -1, c), wavelet, method)   # (P·B·R, C)
+    sig_r = sig_r.reshape([pr] + lead + [r, c])
+    t = jnp.swapaxes(sig_r, -1, -2)                    # (P, ..., C, R)
+    sig = imodwpt(t.reshape(pr, -1, r), wavelet, method)     # (B·C, R)
+    return jnp.swapaxes(sig.reshape(lead + [c, r]), -1, -2)
+
+
+def _level_forward2(nodes: jax.Array, g, h, j: int, method: str
+                    ) -> jax.Array:
+    """One quad-tree level: (P, P, ..., R, C) → (2P, 2P, ..., R, C)."""
+    t = jnp.swapaxes(nodes, -1, -2)          # rows to the conv axis
+    t = _level_forward(t, g, h, j, method)   # (2P_r, P_c, ..., C, R)
+    t = jnp.swapaxes(jnp.swapaxes(t, -1, -2), 0, 1)
+    t = _level_forward(t, g, h, j, method)   # (2P_c, 2P_r, ..., R, C)
+    return jnp.swapaxes(t, 0, 1)
+
+
+def _level_inverse2(nodes: jax.Array, g, h, j: int, method: str
+                    ) -> jax.Array:
+    """One quad-tree adjoint level: (2P, 2P, ..., R, C) → (P, P, ...)."""
+    t = jnp.swapaxes(nodes, 0, 1)            # (2P_c, 2P_r, ..., R, C)
+    t = _level_inverse(t, g, h, j, method)   # (P_c, 2P_r, ..., R, C)
+    t = jnp.swapaxes(jnp.swapaxes(t, 0, 1), -1, -2)
+    t = _level_inverse(t, g, h, j, method)   # (P_r, P_c, ..., C, R)
+    return jnp.swapaxes(t, -1, -2)
+
+
+def modwpt2_tree(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+                 method: str = "auto") -> list[jax.Array]:
+    """Full quad tree: list over levels 0..level of ``(2^l, 2^l, ..., R, C)``.
+
+    Row 0 is the input under (1, 1) node axes; every level is a nested
+    energy-preserving analysis — the precondition for
+    :func:`modwpt2_best_basis`.
+    """
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(jnp.float32)
+    _check_level(x.shape[-2], level)
+    _check_level(x.shape[-1], level)
+    g, h = modwt_base_filters(wavelet)
+    rows = [x[jnp.newaxis, jnp.newaxis]]
+    for j in range(1, level + 1):
+        rows.append(_level_forward2(rows[-1], g, h, j, method))
+    return rows
+
+
+def modwpt2_best_basis(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+                       cost: str = "shannon", method: str = "auto"):
+    """Quad-tree Coifman–Wickerhauser best basis over the shift-invariant
+    2D packet tree (the undecimated analog of :func:`.wpt.best_basis2`).
+
+    Returns ``(masks, total_cost, tree)``: ``masks[l]`` is a boolean
+    ``(2^l, 2^l)`` grid — True where node (l, n_r, n_c) is a leaf of the
+    optimal basis.  Node costs are whole-node costs over all R·C samples
+    (summed over leading batch axes).
+    """
+    from .wpt import _COSTS
+
+    cost_fn = _COSTS[cost] if isinstance(cost, str) else cost
+    tree = modwpt2_tree(x, wavelet, level, method)
+
+    costs = []
+    for l in range(level + 1):
+        row = tree[l]                                  # (2^l, 2^l, ..., R, C)
+        flat = row.reshape((row.shape[0], row.shape[1], -1))
+        costs.append(cost_fn(flat, axis=-1))           # (2^l, 2^l)
+
+    best = costs[level]
+    split = []
+    for l in range(level - 1, -1, -1):
+        p = 1 << l
+        quads = best.reshape((p, 2, p, 2))
+        children = quads.sum(axis=(1, 3))
+        take = children < costs[l]
+        split.append(take)
+        best = jnp.where(take, children, costs[l])
+    split.reverse()
+
+    masks = []
+    reach = jnp.ones((1, 1), dtype=bool)
+    for l in range(level + 1):
+        if l < level:
+            leaf = reach & ~split[l]
+            nxt = reach & split[l]
+            reach = jnp.repeat(jnp.repeat(nxt, 2, axis=0), 2, axis=1)
+        else:
+            leaf = reach
+        masks.append(leaf)
+    return masks, best[0, 0], tree
+
+
+def modwpt2_basis_reconstruct(tree, masks, wavelet: DiscreteWavelet,
+                              method: str = "auto") -> jax.Array:
+    """Reconstruct the image from a quad-tree best-basis selection.
+
+    Bottom-up adjoint cascade mirroring :func:`modwpt_basis_reconstruct`;
+    masks may be traced booleans (jit-friendly).
+    """
+    level = len(masks) - 1
+    g, h = modwt_base_filters(wavelet)
+
+    def mask_mul(row, m):
+        shape = row.shape[:2] + (1,) * (row.ndim - 2)
+        return row * m.reshape(shape).astype(row.dtype)
+
+    cur = mask_mul(tree[level], masks[level])
+    for l in range(level, 0, -1):
+        parents = _level_inverse2(cur, g, h, l, method)
+        cur = parents + mask_mul(tree[l - 1], masks[l - 1])
+    return cur[0, 0]

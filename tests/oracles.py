@@ -286,3 +286,19 @@ def cwt_fft(x, scales, psi_hat, fs=1.0):
         wf = np.conj(np.sqrt(a) * psi_hat(a * omega))
         rows.append(np.fft.ifft(xf * wf)[:n])
     return np.stack(rows)
+
+
+def modwpt2(x, w, level):
+    """Brute-force 2D MODWPT: tensor product of two 1D sequency-ordered
+    packet cascades (rows for n_r, columns for n_c)."""
+    x = np.asarray(x, dtype=np.float64)
+    r, c = x.shape
+    p = 1 << level
+    tmp = np.empty((p, r, c))
+    for col in range(c):
+        tmp[:, :, col] = modwpt(x[:, col], w, level)
+    out = np.empty((p, p, r, c))
+    for nr in range(p):
+        for row in range(r):
+            out[nr, :, row, :] = modwpt(tmp[nr, row, :], w, level)
+    return out

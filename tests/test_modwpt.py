@@ -178,3 +178,97 @@ def test_modwpt_validation(rng):
         modwpt(x, DB4, 6)  # exceeds log2(32)
     with pytest.raises(ValueError):
         imodwpt(jnp.zeros((3, 32)), DB4)  # non-pow2 node count
+
+
+# ---------------------------------------------------------------------------
+# 2D quad-tree
+# ---------------------------------------------------------------------------
+
+from jwave_pro_tpu.ops.modwpt import (  # noqa: E402
+    imodwpt2, modwpt2, modwpt2_basis_reconstruct, modwpt2_best_basis,
+    modwpt2_tree,
+)
+
+
+def test_modwpt2_matches_oracle(rng):
+    x = rng.standard_normal((16, 12))
+    got = np.asarray(modwpt2(x, DB4, 2, method="direct"))
+    want = oracles.modwpt2(x, DB4, 2)
+    assert got.shape == (4, 4, 16, 12)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_modwpt2_roundtrip_and_batch(rng):
+    x = rng.standard_normal((3, 20, 24))
+    c = modwpt2(x, HAAR, 2)
+    assert c.shape == (4, 4, 3, 20, 24)
+    xr = np.asarray(imodwpt2(c, HAAR))
+    np.testing.assert_allclose(xr, x, atol=1e-8)
+    single = np.asarray(modwpt2(x[1], HAAR, 2))
+    np.testing.assert_allclose(np.asarray(c[:, :, 1]), single, atol=1e-12)
+
+
+def test_modwpt2_node00_is_modwt2_LL(rng):
+    x = rng.standard_normal((24, 24))
+    c = np.asarray(modwpt2(x, DB4, 2, method="direct"))
+    m = np.asarray(jw.modwt2(x, DB4, 2, method="direct"))
+    np.testing.assert_allclose(c[0, 0], m[-1], atol=1e-10)  # LL_2
+
+
+def test_modwpt2_shift_invariance_both_axes(rng):
+    x = rng.standard_normal((20, 28))
+    a = np.asarray(modwpt2(np.roll(np.roll(x, 5, 0), 9, 1), DB4, 2,
+                           method="direct"))
+    b = np.roll(np.roll(np.asarray(modwpt2(x, DB4, 2, method="direct")),
+                        5, -2), 9, -1)
+    np.testing.assert_allclose(a, b, atol=1e-10)
+
+
+def test_modwpt2_energy_and_orientation():
+    n = 64
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    # pure horizontal-axis oscillation (varies along columns only)
+    x = np.sin(2 * np.pi * 0.21 * xx)
+    c = np.asarray(modwpt2(x, jw.wavelet("Symlet 8"), 2, method="direct"))
+    e = np.sum(c * c, axis=(-2, -1))
+    np.testing.assert_allclose(e.sum(), np.sum(x * x), rtol=1e-9)
+    nr, nc = np.unravel_index(np.argmax(e), e.shape)
+    # no row variation → row node 0; 0.21·2 = 0.42 of Nyquist → col node 1
+    assert (nr, nc) == (0, 1)
+
+
+def test_modwpt2_tree_and_best_basis(rng):
+    x = rng.standard_normal((24, 24))
+    masks, total, tree = modwpt2_best_basis(x, DB4, 2)
+    frac = sum(float(jnp.sum(m)) / (1 << (2 * l))
+               for l, m in enumerate(masks))
+    np.testing.assert_allclose(frac, 1.0, atol=1e-12)
+    xr = np.asarray(modwpt2_basis_reconstruct(tree, masks, DB4))
+    np.testing.assert_allclose(xr, x, atol=1e-8)
+    # chosen basis beats (or ties) every fixed-level basis
+    from jwave_pro_tpu.ops.wpt import shannon_entropy_cost
+    for l in (0, 2):
+        row = tree[l]
+        fixed = float(jnp.sum(shannon_entropy_cost(
+            row.reshape(row.shape[0] * row.shape[1], -1), axis=-1)))
+        assert float(total) <= fixed + 1e-9
+
+
+def test_modwpt2_tree_levels_match_modwpt2(rng):
+    x = rng.standard_normal((16, 16))
+    tree = modwpt2_tree(x, DB4, 2, method="direct")
+    full = np.asarray(modwpt2(x, DB4, 2, method="direct"))
+    np.testing.assert_allclose(np.asarray(tree[2]), full, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(tree[0][0, 0]), x, atol=1e-12)
+
+
+def test_modwpt2_validation(rng):
+    x = rng.standard_normal((16, 16))
+    with pytest.raises(ValueError):
+        modwpt2(x, DB4, 5)  # exceeds log2(16)
+    with pytest.raises(ValueError):
+        modwpt2(rng.standard_normal(16), DB4, 1)  # 1D input
+    with pytest.raises(ValueError):
+        imodwpt2(jnp.zeros((3, 3, 16, 16)), DB4)  # non-pow2 nodes
+    with pytest.raises(ValueError):
+        imodwpt2(jnp.zeros((2, 4, 16, 16)), DB4)  # unequal node axes

@@ -77,6 +77,11 @@ def main():
         - jw.modwpt(v, w, 3, method="direct"))))(x))
     ok &= check("fused modwpt ≡ xla direct", err, 1e-5)
 
+    img2 = jnp.asarray(rng.standard_normal((512, 512)), dtype=jnp.float32)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.imodwpt2(jw.modwpt2(v, w, 2), w) - v)))(img2))
+    ok &= check("modwpt2 quad-tree roundtrip", err, 1e-4)
+
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
         jw.modwt_correlation(v, v, w, 4) - 1.0)))(x[0]))
     ok &= check("modwt self-correlation ≡ 1", err, 1e-4)
