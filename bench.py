@@ -109,6 +109,19 @@ def bench_modwpt(batch=32, n=1 << 18, level=3):
     return batch * n / _time_chain(step, x)
 
 
+def bench_modwpt2(batch=8, n=512, level=2):
+    """2D quad-tree: input pixels/s (4^level full-resolution nodes)."""
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n)),
+                    jnp.float32)
+
+    def step(v):
+        c = jw.modwpt2(v, w, level)  # (2^L, 2^L, B, R, C)
+        return c[0, 0] + 1e-30 * jnp.sum(c, axis=(0, 1))
+
+    return batch * n * n / _time_chain(step, x)
+
+
 def bench_wpt(dtype=jnp.float32, batch=64, n=65536, level=6):
     w = jw.wavelet("Symlet 8")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
@@ -280,6 +293,7 @@ def main():
         run("fwt2_db4_1024", bench_fwt2d)
         run("wpt_sym8_L6", bench_wpt)
         run("modwpt_db4_L3", bench_modwpt)
+        run("modwpt2_db4_L2", bench_modwpt2)
         run("cwt_morlet_64scales", bench_cwt)
         run("cwt_mexhat_64scales",
             lambda: bench_cwt(wavelet=jw.MexicanHatWavelet()))

@@ -220,24 +220,28 @@ def modwpt_mra(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     """Per-node additive components: ``(2^level, ..., N)`` with Σ_n D_n = x.
 
     Component n is the adjoint cascade applied to node n alone (its unique
-    root path — ``level`` convs per node, not a full inverse per node), the
-    packet analog of :func:`..modwt.modwt_mra` / MATLAB's ``modwptdetails``.
-    Each component is the part of the signal living in node n's frequency
-    band; the decomposition is exact by linearity of the inverse.
+    root path), the packet analog of :func:`..modwt.modwt_mra` / MATLAB's
+    ``modwptdetails``.  Each component is the part of the signal living in
+    node n's frequency band; the decomposition is exact by linearity of the
+    inverse.
+
+    Batched formulation: at adjoint level j every node's branch filter is
+    static (g̃ when its level-j ancestor ``m = n >> (level-j)`` has
+    ``m mod 4 ∈ {0, 3}``, else h̃), so ONE shared-roll pair-conv over all
+    2^level components plus a per-node select replaces the per-node loop —
+    2 batched ops per level instead of 2^level small convs.
     """
     nodes = modwpt(x, wavelet, level, method)
     g, h = modwt_base_filters(wavelet)
-    comps = []
-    for n in range(nodes.shape[0]):
-        v = nodes[n]
-        m = n
-        for j in range(level, 0, -1):
-            f = g if m % 4 in (0, 3) else h
-            v, _ = _level_conv(v, f, np.zeros_like(f), j, method,
-                               adjoint=True)
-            m //= 2
-        comps.append(v)
-    return jnp.stack(comps, axis=0)
+    p = 1 << level
+    comps = nodes
+    for j in range(level, 0, -1):
+        m = np.arange(p) >> (level - j)
+        use_g = (m % 4 == 0) | (m % 4 == 3)
+        cg, ch = _level_conv(comps, g, h, j, method, adjoint=True)
+        sel = jnp.asarray(use_g).reshape((p,) + (1,) * (comps.ndim - 1))
+        comps = jnp.where(sel, cg, ch)
+    return comps
 
 
 def modwpt_best_basis(x: jax.Array, wavelet: DiscreteWavelet, level: int,
