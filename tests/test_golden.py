@@ -45,12 +45,22 @@ def test_modwt_golden(golden):
         np.testing.assert_allclose(got, golden[key], atol=1e-10, err_msg=key)
 
 
+def test_modwpt_golden(golden):
+    x = golden["input_100"]
+    for key in [k for k in golden.files if k.startswith("modwpt_")]:
+        w = jw.wavelet(_wname(key[7:-3]))
+        got = np.asarray(jw.modwpt(x, w, 2, method="direct"))
+        np.testing.assert_allclose(got, golden[key], atol=1e-10, err_msg=key)
+
+
 def test_golden_covers_all_pr_wavelets(golden):
-    """Breadth pin: every good_wavelets() member has FWT+WPT+MODWT vectors."""
+    """Breadth pin: every good_wavelets() member has FWT+WPT+MODWT+MODWPT
+    vectors."""
     names = {w.name for w in jw.good_wavelets()}
     for name in names:
         key = name.replace(" ", "_").replace("/", "-")
-        for prefix, suffix in (("fwt_", ""), ("wpt_", ""), ("modwt_", "_L4")):
+        for prefix, suffix in (("fwt_", ""), ("wpt_", ""),
+                               ("modwt_", "_L4"), ("modwpt_", "_L2")):
             assert f"{prefix}{key}{suffix}" in golden.files, (prefix, name)
 
 

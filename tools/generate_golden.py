@@ -48,6 +48,7 @@ def main():
         payload[f"fwt_{key}"] = oracles.fwt(sig64, w)
         payload[f"wpt_{key}"] = oracles.wpt(sig64, w, 3)
         payload[f"modwt_{key}_L4"] = oracles.modwt(sig100, w, 4)
+        payload[f"modwpt_{key}_L2"] = oracles.modwpt(sig100, w, 2)
 
     scales = np.exp(np.linspace(np.log(1.0), np.log(16.0), 8))
     payload["cwt_scales"] = scales
