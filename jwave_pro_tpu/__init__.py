@@ -54,8 +54,8 @@ from .ops.analysis import (  # noqa: F401
 )
 from .ops.lifting import cdf53, cdf97, icdf53, icdf97  # noqa: F401
 from .ops.pywt_compat import (  # noqa: F401
-    coeffs_to_flat, dwt, dwt2, flat_to_coeffs, idwt, idwt2, wavedec,
-    wavedec2, waverec, waverec2,
+    coeffs_to_flat, dwt, dwt2, dwt3, flat_to_coeffs, idwt, idwt2, idwt3,
+    wavedec, wavedec2, wavedec3, waverec, waverec2, waverec3,
 )
 from .ops.arbitrary import (  # noqa: F401
     aed_forward, aed_inverse, swt_forward, swt_inverse,

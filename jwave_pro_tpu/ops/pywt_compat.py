@@ -14,8 +14,9 @@ import jax.numpy as jnp
 from ..wavelets.base import DiscreteWavelet
 from .fwt import analysis_step, fwt, ifwt, synthesis_step
 
-__all__ = ["dwt", "idwt", "dwt2", "idwt2", "wavedec", "waverec",
-           "wavedec2", "waverec2", "coeffs_to_flat", "flat_to_coeffs"]
+__all__ = ["dwt", "idwt", "dwt2", "idwt2", "dwt3", "idwt3",
+           "wavedec", "waverec", "wavedec2", "waverec2",
+           "wavedec3", "waverec3", "coeffs_to_flat", "flat_to_coeffs"]
 
 
 def dwt(x: jax.Array, wavelet: DiscreteWavelet):
@@ -150,4 +151,106 @@ def waverec2(coeffs, wavelet: DiscreteWavelet) -> jax.Array:
     ca = jnp.asarray(coeffs[0])
     for det in coeffs[1:]:
         ca = idwt2(ca, det, wavelet)
+    return ca
+
+
+# ---------------------------------------------------------------------------
+# 3D (pywt dwtn/wavedec3 convention; octant keys read (depth, row, col))
+# ---------------------------------------------------------------------------
+
+_DET3_KEYS = ("aad", "ada", "add", "daa", "dad", "dda", "ddd")
+
+
+def _astep_axis(x: jax.Array, wavelet: DiscreteWavelet, axis: int,
+                step=analysis_step) -> jax.Array:
+    if axis == -1:
+        return step(x, wavelet)
+    return jnp.swapaxes(step(jnp.swapaxes(x, -1, axis), wavelet), -1, axis)
+
+
+def dwt3(x: jax.Array, wavelet: DiscreteWavelet):
+    """Single-level 3D DWT: ``(..., D, R, C) → (cAAA, {det octants})``.
+
+    Separable tensor product of three :func:`analysis_step` passes (the 3D
+    analog of the reference's generic dispatch, ``BasicTransform.java:
+    509-566``, restricted to one level).  Detail octants are keyed by the
+    pywt ``dwtn`` convention — three letters reading (depth, row, col),
+    ``a`` = scaling half, ``d`` = wavelet half — matching the band-letter
+    convention of :func:`..modwt2d.modwt3`.  All three trailing axes must
+    be even.
+    """
+    x = jnp.asarray(x)
+    d, r, c = x.shape[-3:]
+    if d % 2 or r % 2 or c % 2:
+        raise ValueError(
+            f"dwt3 requires even volume sides, got ({d}, {r}, {c})")
+    y = x
+    for ax in (-1, -2, -3):
+        y = _astep_axis(y, wavelet, ax)
+
+    def octant(key: str) -> jax.Array:
+        sl = []
+        for letter, size in zip(key, (d, r, c)):
+            half = size // 2
+            sl.append(slice(0, half) if letter == "a" else slice(half, size))
+        return y[..., sl[0], sl[1], sl[2]]
+
+    details = {k: octant(k) for k in _DET3_KEYS}
+    return octant("aaa"), details
+
+
+def idwt3(caaa: jax.Array, details, wavelet: DiscreteWavelet) -> jax.Array:
+    """Inverse of :func:`dwt3`: ``(cAAA, {7 octants}) → (..., D, R, C)``."""
+    caaa = jnp.asarray(caaa)
+    missing = [k for k in _DET3_KEYS if k not in details]
+    if missing:
+        raise ValueError(f"idwt3 missing detail octants: {missing}")
+    octs = {"aaa": caaa}
+    for k in _DET3_KEYS:
+        a = jnp.asarray(details[k])
+        if a.shape != caaa.shape:
+            raise ValueError(
+                f"octant {k!r} shape {a.shape} != cAAA shape {caaa.shape}")
+        octs[k] = a
+    # stitch octants back into the flat cube: concat col, then row, then depth
+    def cat(prefix: str, axis: int) -> jax.Array:
+        if len(prefix) == 3:
+            return octs[prefix]
+        return jnp.concatenate(
+            [cat(prefix + "a", axis + 1), cat(prefix + "d", axis + 1)],
+            axis=axis - 3)
+    y = cat("", 0)
+    for ax in (-3, -2, -1):
+        y = _astep_axis(y, wavelet, ax, step=synthesis_step)
+    return y
+
+
+def wavedec3(x: jax.Array, wavelet: DiscreteWavelet, level=None):
+    """Multi-level 3D decomposition, Mallat convention (only cAAA recursed):
+    ``[cAAA_L, {dets_L}, ..., {dets_1}]`` (pywt ``wavedec3`` layout)."""
+    x = jnp.asarray(x)
+    if level is None:
+        floor = max(2, wavelet.transform_wavelength)
+        level = 0
+        dims = list(x.shape[-3:])
+        while all(s % 2 == 0 for s in dims) and min(dims) >= floor:
+            level += 1
+            dims = [s // 2 for s in dims]
+    level = int(level)
+    if level < 1:
+        raise ValueError("level must be >= 1")
+    out = []
+    ca = x
+    for _ in range(level):
+        ca, det = dwt3(ca, wavelet)
+        out.append(det)
+    out.append(ca)
+    return list(reversed(out))
+
+
+def waverec3(coeffs, wavelet: DiscreteWavelet) -> jax.Array:
+    """Reconstruct from a :func:`wavedec3` coefficient list."""
+    ca = jnp.asarray(coeffs[0])
+    for det in coeffs[1:]:
+        ca = idwt3(ca, det, wavelet)
     return ca

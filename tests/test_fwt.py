@@ -200,3 +200,48 @@ def test_wavedec2_waverec2_mallat(rng):
     assert len(c2) == 6  # 5 levels: 64x32 -> 2x1? floor=2: 32/2^5=1 stop at 5
     with np.testing.assert_raises(ValueError):
         jw.dwt2(rng.standard_normal((15, 16)), DB4)
+
+
+def test_dwt3_idwt3_roundtrip_energy_and_consistency(rng):
+    vol = rng.standard_normal((2, 16, 32, 8))
+    ca, det = jw.dwt3(vol, DB4)
+    assert ca.shape == (2, 8, 16, 4)
+    assert set(det) == {"aad", "ada", "add", "daa", "dad", "dda", "ddd"}
+    np.testing.assert_allclose(np.asarray(jw.idwt3(ca, det, DB4)), vol,
+                               atol=1e-8)
+    # energy preservation (orthonormal bank)
+    tot = float(np.sum(np.asarray(ca) ** 2)) + sum(
+        float(np.sum(np.asarray(a) ** 2)) for a in det.values())
+    np.testing.assert_allclose(tot, float(np.sum(vol ** 2)), rtol=1e-10)
+    # consistency: octants are slices of the level-(1,1,1) flat fwt3 cube
+    flat = np.asarray(jw.fwt3(vol, DB4, (1, 1, 1)))
+    np.testing.assert_allclose(np.asarray(ca), flat[:, :8, :16, :4],
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(det["ddd"]), flat[:, 8:, 16:, 4:],
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(det["daa"]), flat[:, 8:, :16, :4],
+                               atol=1e-10)
+    # semantics: a depth-alternating volume concentrates in the daa octant
+    stripes = np.broadcast_to(((-1.0) ** np.arange(16))[:, None, None],
+                              (16, 16, 16)).copy()
+    _, sdet = jw.dwt3(stripes, jw.wavelet("Haar"))
+    e = {k: float(np.sum(np.asarray(v) ** 2)) for k, v in sdet.items()}
+    assert e["daa"] > 100 * max(v for k, v in e.items() if k != "daa")
+
+
+def test_wavedec3_waverec3_mallat(rng):
+    vol = rng.standard_normal((32, 16, 64))
+    coeffs = jw.wavedec3(vol, DB4, 2)
+    assert len(coeffs) == 3
+    assert coeffs[0].shape == (8, 4, 16)              # cAAA_2
+    assert coeffs[1]["ddd"].shape == (8, 4, 16)       # level-2 details
+    assert coeffs[2]["aad"].shape == (16, 8, 32)      # level-1 details
+    np.testing.assert_allclose(np.asarray(jw.waverec3(coeffs, DB4)), vol,
+                               atol=1e-8)
+    # default level halves until the smallest side hits the filter floor
+    c2 = jw.wavedec3(vol, jw.wavelet("Haar"))
+    assert len(c2) == 5  # 4 levels: 16 -> 8 -> 4 -> 2 -> 1 (check pre-halve)
+    with np.testing.assert_raises(ValueError):
+        jw.dwt3(rng.standard_normal((15, 16, 16)), DB4)
+    with np.testing.assert_raises(ValueError):
+        jw.idwt3(np.zeros((4, 4, 4)), {"ddd": np.zeros((4, 4, 4))}, DB4)
