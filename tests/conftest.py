@@ -27,6 +27,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run @pytest.mark.slow suites (sharded/HLO compile-heavy); "
+             "also enabled by JWAVE_TEST_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("JWAVE_TEST_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow suite — run with --runslow (or JWAVE_TEST_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
