@@ -284,10 +284,27 @@ def _cwt_traced_scales(xp, n, scales_arr, wavelet, sampling_rate, cdtype):
     return jnp.fft.ifft(prod, axis=-1)[..., :n]
 
 
+def _banded_auto_ok(xp, scales_np, padded_n, n) -> bool:
+    """Auto-dispatch guard for the pruned-band path: supported shapes and a
+    working-set small enough that the (…, S, P)-sized stage tensors fit
+    comfortably (larger jobs keep the scale-chunked irfft path)."""
+    from .cwt_banded import banded_supported
+
+    if not banded_supported(padded_n, n):
+        return False
+    batch_elems = int(np.prod(xp.shape[:-1], dtype=np.int64))
+    return batch_elems * padded_n * len(scales_np) <= (1 << 26)
+
+
 def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
         sampling_rate: float = 1.0, padding: str = "zero",
         method: str = "auto") -> CWTResult:
     """FFT-based CWT over a static array of scales.
+
+    ``method``: 'auto' (pruned-band MXU path on TPU f32 when shapes allow,
+    else the half-spectrum irfft path), 'banded' (force pruned-band),
+    'fft' (force the half-spectrum irfft path), 'fused' (opt-in Pallas
+    multiply+iDFT kernel).
 
     Equivalent of ``transformFFT`` (``ContinuousWaveletTransform.java:
     183-229``) and its parallel variants (``:511-607``) in one batched op.
@@ -302,6 +319,8 @@ def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
     ``scalogram`` work unchanged, and HBM traffic halves.  Complex input
     or traced scales fall back to the full-FFT formulation.
     """
+    if method not in ("auto", "banded", "fused", "fft"):
+        raise ValueError(f"unknown CWT method {method!r}")
     if wavelet is None:
         wavelet = MorletWavelet()
     x = jnp.asarray(x)
@@ -324,6 +343,27 @@ def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
             else jnp.float32))
         coeff = _cwt_traced_scales(xp, n, scales_arr, wavelet,
                                    sampling_rate, cdtype)
+    elif method == "banded" or (
+            method == "auto" and x.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and _banded_auto_ok(xp, scales_np, padded_n, n)):
+        # Pruned-band path: per-scale spectral support + factorized MXU
+        # zoom-iDFT (ops/cwt_banded.py).  Identical math to the
+        # half-spectrum path up to the 1e-8 band truncation; measured
+        # 0.34 G inputs/s Morlet 64-scale on v5e vs 0.06-0.08 for the
+        # irfft path (4-6×), 0.32 G Mexican Hat (2.3×) — see
+        # docs/PERFORMANCE.md.
+        from .cwt_banded import banded_supported, cwt_banded_coefficients
+
+        if not banded_supported(padded_n, n):
+            raise ValueError(
+                f"banded CWT needs a 128-divisible padded length ≥ 512, "
+                f"got {padded_n}")
+        scales_arr = jnp.asarray(scales_np, dtype=jnp.float64
+                                 if x.dtype == jnp.float64 else jnp.float32)
+        sig_rfft = jnp.fft.rfft(xp, axis=-1)
+        coeff = cwt_banded_coefficients(sig_rfft, n, scales_np, wavelet,
+                                        sampling_rate, padded_n)
     elif (method == "fused" and x.dtype == jnp.float32
           and (fused := _cwt_fused_tpu(xp, n, scales_np, wavelet,
                                        sampling_rate)) is not None):

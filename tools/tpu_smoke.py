@@ -100,6 +100,18 @@ def main():
     print(f"  [{'OK ' if finite else 'FAIL'}] cwt 64-scale batched finite")
     ok &= finite
 
+    # Pruned-band CWT vs the half-spectrum irfft path, on-device f32
+    # (VERDICT r2 #2: the 2e-5 parity bound must hold on the chip, where
+    # the MXU zoom-iDFT runs 6-pass bf16 HIGHEST — CPU f64 can't see it).
+    for wav, nm in ((jw.MorletWavelet(), "morlet"),
+                    (jw.MexicanHatWavelet(), "mexhat")):
+        def banded_err(v, wv=wav):
+            a = jw.cwt(v, scales, wv, 1.0, method="banded").coefficients
+            b = jw.cwt(v, scales, wv, 1.0, method="fft").coefficients
+            return jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b))
+        err = float(jax.jit(banded_err)(x[:2, :4096]))
+        ok &= check(f"banded CWT ≡ irfft path ({nm})", err, 2e-5)
+
     # 2D CWT: real half-plane fast path ≡ full complex plane on device.
     img = x[:2, :4096].reshape(2, 64, 64)
     s2 = (2.0, 4.0, 8.0)
