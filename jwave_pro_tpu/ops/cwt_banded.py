@@ -70,7 +70,8 @@ from jax import lax
 
 from ..wavelets.continuous import ContinuousWavelet
 
-__all__ = ["cwt_banded_coefficients", "banded_supported", "band_plan"]
+__all__ = ["cwt_banded_coefficients", "cwt_banded_wd", "banded_supported",
+           "band_plan"]
 
 _EPS = 1e-8          # relative ψ̂ truncation threshold
 _B1 = 128            # MXU lane block (stage-2 contraction size)
@@ -95,7 +96,8 @@ class _Group:
 
 @functools.lru_cache(maxsize=128)
 def band_plan(wavelet: ContinuousWavelet, scales_t: tuple, padded_n: int,
-              sampling_rate: float, n_out: int, eps: float = _EPS):
+              sampling_rate: float, n_out: int, eps: float = _EPS,
+              derivative: bool = False):
     """Static plan: (mode, row_groups, inv_perm, e1, carr_q, t, q).
 
     ``row_groups``: one list of _Group per output row set (1 for
@@ -142,6 +144,18 @@ def band_plan(wavelet: ContinuousWavelet, scales_t: tuple, padded_n: int,
         else:
             mode = "general"
             mults = [a_mult * w_half, b_mult * w_half]
+
+    if derivative:
+        # ∂_t rows: multiplier iω·M shares M's band support (the extra ω
+        # factor cannot widen a Gaussian/polynomial-decay band beyond ε);
+        # the Nyquist bin is zeroed — iω there breaks the real-output
+        # symmetry (see ops/ssq.py:_ssq_multipliers).
+        iw = 1j * (2.0 * math.pi * np.arange(f) * sampling_rate / p)
+        deriv = [mu * iw for mu in mults]
+        if p % 2 == 0:
+            for d in deriv:
+                d[:, -1] = 0.0
+        mults = mults + deriv
 
     support = np.zeros((s_count, f))
     for mu in mults:
@@ -266,19 +280,9 @@ def _rows_to_z(hr, hi, e1, carr_q, t_dim, q_dim, n_out, rdt, precision):
     return zr, zi
 
 
-def cwt_banded_coefficients(xh: jax.Array, n_out: int, scales_np: np.ndarray,
-                            wavelet: ContinuousWavelet, sampling_rate: float,
-                            padded_n: int,
-                            precision=lax.Precision.HIGHEST) -> jax.Array:
-    """Coefficients (..., S, n_out) from the rfft half-spectrum ``xh``.
-
-    ``xh``: (..., P/2+1) complex rfft of the padded real signal.  Output is
-    complex (analytic/general ψ̂) or real (real-even ψ̂ — same convention as
-    the unpruned path in :func:`ops.cwt.cwt`).
-    """
-    mode, row_groups, inv_perm, e1, carr_qs, t_dim, q_dim = band_plan(
-        wavelet, tuple(float(s) for s in scales_np), padded_n,
-        float(sampling_rate), int(n_out))
+def _run_plan(xh, plan, n_out, precision):
+    """Evaluate every row set of a plan → list of (zr, zi) in caller order."""
+    mode, row_groups, inv_perm, e1, carr_qs, t_dim, q_dim = plan
     rdt = jnp.float64 if xh.dtype == jnp.complex128 else jnp.float32
     xr, xi = jnp.real(xh).astype(rdt), jnp.imag(xh).astype(rdt)
     # The widest band window is 128-padded past F = P/2+1; zero-pad the
@@ -291,6 +295,7 @@ def cwt_banded_coefficients(xh: jax.Array, n_out: int, scales_np: np.ndarray,
         zeros = jnp.zeros(xr.shape[:-1] + (f_pad,), rdt)
         xr = jnp.concatenate([xr, zeros], axis=-1)
         xi = jnp.concatenate([xi, zeros], axis=-1)
+    identity = np.array_equal(inv_perm, np.arange(inv_perm.shape[0]))
 
     def run_rows(groups):
         # Per-group stage 2: the group z outputs concatenate straight into
@@ -303,18 +308,64 @@ def cwt_banded_coefficients(xh: jax.Array, n_out: int, scales_np: np.ndarray,
                                 precision)
             zrs.append(zr)
             zis.append(zi)
-        if len(zrs) == 1:
-            return zrs[0], zis[0]
-        return (jnp.concatenate(zrs, axis=-2), jnp.concatenate(zis, axis=-2))
+        zr = zrs[0] if len(zrs) == 1 else jnp.concatenate(zrs, axis=-2)
+        zi = zis[0] if len(zis) == 1 else jnp.concatenate(zis, axis=-2)
+        if not identity:
+            ip = jnp.asarray(inv_perm)
+            zr = jnp.take(zr, ip, axis=-2)
+            zi = jnp.take(zi, ip, axis=-2)
+        return zr, zi
 
-    zr, zi = run_rows(row_groups[0])
+    return [run_rows(gs) for gs in row_groups]
+
+
+def _combine(mode, zs):
+    """Row-set results → coefficient array per the wavelet regime."""
     if mode == "analytic":
-        coeff = lax.complex(zr, zi)
-    elif mode == "real":
-        coeff = zr
-    else:
-        zr2, _ = run_rows(row_groups[1])
-        coeff = lax.complex(zr, zr2)
-    if not np.array_equal(inv_perm, np.arange(inv_perm.shape[0])):
-        coeff = jnp.take(coeff, jnp.asarray(inv_perm), axis=-2)
-    return coeff
+        return lax.complex(*zs[0])
+    if mode == "real":
+        return zs[0][0]
+    return lax.complex(zs[0][0], zs[1][0])
+
+
+def cwt_banded_coefficients(xh: jax.Array, n_out: int, scales_np: np.ndarray,
+                            wavelet: ContinuousWavelet, sampling_rate: float,
+                            padded_n: int,
+                            precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Coefficients (..., S, n_out) from the rfft half-spectrum ``xh``.
+
+    ``xh``: (..., P/2+1) complex rfft of the padded real signal.  Output is
+    complex (analytic/general ψ̂) or real (real-even ψ̂ — same convention as
+    the unpruned path in :func:`ops.cwt.cwt`).
+    """
+    plan = band_plan(wavelet, tuple(float(s) for s in scales_np), padded_n,
+                     float(sampling_rate), int(n_out))
+    zs = _run_plan(xh, plan, int(n_out), precision)
+    return _combine(plan[0], zs)
+
+
+def cwt_banded_wd(xh: jax.Array, n_out: int, scales_np: np.ndarray,
+                  wavelet: ContinuousWavelet, sampling_rate: float,
+                  padded_n: int, precision=lax.Precision.HIGHEST):
+    """(W, ∂_t W) pair from one shared plan — the synchrosqueezing front end.
+
+    The derivative rows use the multiplier iω·M, which shares M's band
+    support, so band slices, twiddles and the stage-2 structure are reused;
+    vs four independent irffts this is the same ~4–6× win the plain banded
+    CWT measures (see ops/ssq.py).
+    """
+    plan = band_plan(wavelet, tuple(float(s) for s in scales_np), padded_n,
+                     float(sampling_rate), int(n_out), derivative=True)
+    mode, row_groups = plan[0], plan[1]
+    zs = _run_plan(xh, plan, int(n_out), precision)
+    base = len(row_groups) // 2
+    w = _combine(mode, zs[:base])
+    dw = _combine(mode, zs[base:])
+    if mode == "real":
+        # real-ψ̂ W is real; callers expect complex W for phase transforms —
+        # promote with zero imaginary part (degenerate SSQ case, kept for
+        # API uniformity).
+        w = w.astype(jnp.complex128 if w.dtype == jnp.float64
+                     else jnp.complex64)
+        dw = dw.astype(w.dtype)
+    return w, dw

@@ -132,7 +132,16 @@ def _ssq_reassign(xp, n, mults, weights, log_lo, dlog, n_freqs, gamma,
 
     w_re, w_im = half(a_m), half(b_m)          # W     (..., S, N)
     d_re, d_im = half(ad_m), half(bd_m)        # ∂_t W (..., S, N)
+    return _reassign_planes(w_re, w_im, d_re, d_im, weights, log_lo, dlog,
+                            n_freqs, gamma, rdtype, cdtype, axis_name)
 
+
+def _reassign_planes(w_re, w_im, d_re, d_im, weights, log_lo, dlog, n_freqs,
+                     gamma, rdtype, cdtype, axis_name: str | None = None):
+    """(W, ∂_t W) quadrature planes → (Tx, W) — the reassignment scatter."""
+    n = w_re.shape[-1]
+    s_count = w_re.shape[-2]
+    batch_elems = int(np.prod(w_re.shape[:-2], dtype=np.int64))
     mag2 = w_re * w_re + w_im * w_im
     if gamma is None:
         peak = jnp.max(mag2, axis=(-2, -1), keepdims=True)
@@ -183,7 +192,7 @@ def _ssq_reassign(xp, n, mults, weights, log_lo, dlog, n_freqs, gamma,
                                 axis=-1)  # (..., K, N, L)
         return acc + jnp.sum(c_k[..., None] * onehot, axis=-3), None
 
-    acc0 = jnp.zeros(xp.shape[:-1] + (n, n_freqs), dtype=cdtype)
+    acc0 = jnp.zeros(w_re.shape[:-2] + (n, n_freqs), dtype=cdtype)
     # shard_map VMA check: the scan carry must be varying over the same
     # manual mesh axes as the scanned operands; deriving the zero init from
     # an operand inherits exactly those (a no-op XLA folds away).
@@ -249,14 +258,30 @@ def ssq_cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
 
     rdtype = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
     cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
-    a_m, b_m, ad_m, bd_m = _ssq_multipliers(
-        wavelet, tuple(float(s) for s in scales_np), padded_n,
-        float(sampling_rate))
-
     xp = pad_signal(x, padded_n, padding)
     weights = _icwt_weights(scales_np)  # (S,) host f64
-    tx, w_coef = _ssq_reassign(xp, n, (a_m, b_m, ad_m, bd_m), weights,
-                               log_lo, dlog, n_freqs, gamma, rdtype, cdtype)
+
+    from .cwt_banded import banded_supported, cwt_banded_wd
+
+    if (x.dtype == jnp.float32 and jax.default_backend() == "tpu"
+            and banded_supported(padded_n, n)):
+        # Pruned-band front end (ops/cwt_banded.py): W and ∂_t W from one
+        # shared band plan — replaces the four full-length irffts the
+        # _ssq_reassign path pays (measured 4–6× on the CWT front end;
+        # docs/PERFORMANCE.md).
+        xh = jnp.fft.rfft(xp, axis=-1)
+        w_c, d_c = cwt_banded_wd(xh, n, scales_np, wavelet,
+                                 float(sampling_rate), padded_n)
+        tx, w_coef = _reassign_planes(
+            jnp.real(w_c), jnp.imag(w_c), jnp.real(d_c), jnp.imag(d_c),
+            weights, log_lo, dlog, n_freqs, gamma, rdtype, cdtype)
+    else:
+        a_m, b_m, ad_m, bd_m = _ssq_multipliers(
+            wavelet, tuple(float(s) for s in scales_np), padded_n,
+            float(sampling_rate))
+        tx, w_coef = _ssq_reassign(xp, n, (a_m, b_m, ad_m, bd_m), weights,
+                                   log_lo, dlog, n_freqs, gamma, rdtype,
+                                   cdtype)
 
     freqs = np.exp(log_lo + dlog * np.arange(n_freqs))
     dt = 1.0 / sampling_rate

@@ -83,6 +83,37 @@ def test_banded_guards():
         jcwt.cwt(jnp.ones(1024), SCALES[:4], method="bogus")
 
 
+@pytest.mark.parametrize("wav", [jw.MorletWavelet(), jw.PaulWavelet(),
+                                 jw.DOGWavelet(n=3), jw.MexicanHatWavelet()],
+                         ids=["morlet", "paul", "dog3", "mexhat"])
+def test_banded_wd_matches_full_derivative(rng, wav):
+    # (W, ∂_t W) from the shared derivative plan must match the full-length
+    # half-spectrum path built from _ssq_multipliers (the SSQ front end).
+    from jwave_pro_tpu.ops.cwt_banded import cwt_banded_wd
+    from jwave_pro_tpu.ops.ssq import _ssq_multipliers
+    from jwave_pro_tpu.ops.cwt import _half_irfft_chunked, pad_signal
+
+    n, padded_n, fs = 4000, 4096, 3.0
+    x = jnp.asarray(rng.standard_normal((2, n)))
+    xp = pad_signal(x, padded_n, "zero")
+    xh = jnp.fft.rfft(xp, axis=-1)
+    scales = tuple(map(float, SCALES))
+    a, b, ad, bd = _ssq_multipliers(wav, scales, padded_n, fs)
+    xh1 = xh[..., None, :]
+
+    def half(m):
+        return _half_irfft_chunked(xh1, m, padded_n, n, jnp.complex128,
+                                   jnp.float64, len(scales))
+
+    w_ref = np.asarray(half(a) + 1j * half(b))
+    d_ref = np.asarray(half(ad) + 1j * half(bd))
+    w, d = cwt_banded_wd(xh, n, np.asarray(SCALES), wav, fs, padded_n)
+    w, d = np.asarray(w), np.asarray(d)
+    assert np.iscomplexobj(w) and np.iscomplexobj(d)  # real mode promoted
+    assert np.max(np.abs(w - w_ref)) / np.max(np.abs(w_ref)) < 5e-8
+    assert np.max(np.abs(d - d_ref)) / np.max(np.abs(d_ref)) < 5e-8
+
+
 def test_banded_band_plan_prunes(rng):
     # Large scales must actually get narrow bands (the point of the path).
     _, row_groups, _, _, _, _, _ = band_plan(
