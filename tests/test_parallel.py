@@ -341,7 +341,9 @@ def test_scattering_scale_sharded_matches(rng):
     from jwave_pro_tpu.parallel.sharded import scattering_sharded
     mesh = make_mesh({"scale": 8})
     x = rng.standard_normal(1024).astype(np.float32)
-    want = jw.scattering1d(x, j=4, q=2)            # L1 = 8 paths
+    # scattering_sharded runs the full-resolution cascade on each shard —
+    # compare against the exact (undecimated) single-device reference
+    want = jw.scattering1d(x, j=4, q=2, oversampling=64)   # L1 = 8 paths
     got = scattering_sharded(x, j=4, q=2, mesh=mesh)
     np.testing.assert_allclose(np.asarray(got.s0), np.asarray(want.s0),
                                atol=1e-5)
@@ -361,7 +363,7 @@ def test_scattering_sharded_batched_order1(rng):
     from jwave_pro_tpu.parallel.sharded import scattering_sharded
     mesh = make_mesh({"data": 2, "scale": 4})
     xb = rng.standard_normal((4, 512)).astype(np.float32)
-    want = jw.scattering1d(xb, j=4, q=1, order=1)
+    want = jw.scattering1d(xb, j=4, q=1, order=1, oversampling=64)
     got = scattering_sharded(xb, j=4, q=1, order=1, mesh=mesh)
     np.testing.assert_allclose(np.asarray(got.s1), np.asarray(want.s1),
                                atol=1e-5)

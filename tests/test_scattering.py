@@ -125,6 +125,21 @@ def test_second_order_detects_amplitude_modulation():
     assert s2_rel(r_am) > 3.0 * s2_rel(r_pure)
 
 
+def test_multiresolution_matches_full_resolution():
+    # default (oversampling=1) multires cascade vs the exact full-res one
+    # (huge oversampling forces every decimation stride to 1)
+    x = _sig((2, 4096), seed=7)
+    exact = jw.scattering1d(x, j=6, q=8, oversampling=64)
+    fast = jw.scattering1d(x, j=6, q=8)
+    for name, tol in (("s0", 1e-12), ("s1", 5e-4), ("s2", 5e-3)):
+        a = np.asarray(getattr(fast, name))
+        b = np.asarray(getattr(exact, name))
+        assert np.abs(a - b).max() / np.abs(b).max() < tol, name
+    # metadata identical: same paths in the same order
+    np.testing.assert_array_equal(fast.pairs, exact.pairs)
+    np.testing.assert_array_equal(fast.xi1, exact.xi1)
+
+
 def test_jit_batch_grad():
     x = _sig((2, 512), seed=4)
     f = jax.jit(lambda v: jw.scattering1d(v, j=4, q=2).stack())

@@ -141,6 +141,16 @@ def main():
     err = float(jax.jit(ssq_identity)(tone))
     ok &= check("ssq reassignment sum identity", err, 5e-2)
 
+    # multires scattering ≡ full-resolution cascade (f32, on-chip reduce)
+    def scat_err(v):
+        fast = jw.scattering1d(v, j=6, q=4).stack()
+        exact = jw.scattering1d(v, j=6, q=4, oversampling=64).stack()
+        return jnp.max(jnp.abs(fast - exact)) / jnp.max(jnp.abs(exact))
+    xs = jnp.asarray(np.random.default_rng(7).standard_normal((2, 4096)),
+                     jnp.float32)
+    err = float(jax.jit(scat_err)(xs))
+    ok &= check("multires scattering ≡ full-res", err, 5e-3)
+
     # ridge extraction finds the 40 Hz tone on device
     def ridge_err(v):
         r = jw.ssq_cwt(v, sq_scales, sampling_rate=512.0)
