@@ -109,14 +109,14 @@ def bench_modwpt(batch=32, n=1 << 18, level=3):
     return batch * n / _time_chain(step, x)
 
 
-def bench_modwpt2(batch=8, n=512, level=2):
+def bench_modwpt2(batch=8, n=512, level=2, method="auto"):
     """2D quad-tree: input pixels/s (4^level full-resolution nodes)."""
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n)),
                     jnp.float32)
 
     def step(v):
-        c = jw.modwpt2(v, w, level)  # (2^L, 2^L, B, R, C)
+        c = jw.modwpt2(v, w, level, method=method)  # (2^L, 2^L, B, R, C)
         return c[0, 0] + 1e-30 * jnp.sum(c, axis=(0, 1))
 
     return batch * n * n / _time_chain(step, x)

@@ -415,7 +415,7 @@ def test_ssq_sharded_single_psum(rng):
     txt = jax.jit(lambda v: ssq_sharded(v, scales, mesh=mesh,
                                         gamma=1e-4).Tx
                   ).lower(x).compile().as_text()
-    assert txt.count("all-reduce-start") + txt.count("all-reduce(") <= 2
+    assert txt.count("all-reduce-start") + txt.count("all-reduce(") == 1
     for op in ("all-gather", "collective-permute", "all-to-all"):
         assert op not in txt, op
 
