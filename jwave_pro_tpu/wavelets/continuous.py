@@ -253,6 +253,30 @@ class DOGWavelet(ContinuousWavelet):
         object.__setattr__(self, "center_frequency",
                            math.sqrt(n) / (2.0 * math.pi * sigma))
 
+    #: preset derivative orders (``DOGWavelet.java:56-76`` WaveletType enum)
+    STANDARD_TYPES = {
+        "edge": (1, "Edge detection"),
+        "mexican_hat": (2, "Mexican Hat / Ricker wavelet"),
+        "ricker": (2, "Ricker wavelet (alias for Mexican Hat)"),
+        "zero_crossing": (3, "Zero-crossing detection"),
+        "ridge": (4, "Ridge detection"),
+    }
+
+    @classmethod
+    def standard(cls, kind: str, sigma: float = 1.0) -> "DOGWavelet":
+        """Preset factory: ``DOGWavelet.java:401-406`` ``createStandard``.
+
+        ``kind`` ∈ 'edge' (n=1), 'mexican_hat'/'ricker' (n=2),
+        'zero_crossing' (n=3), 'ridge' (n=4); case-insensitive.
+        """
+        try:
+            n, _ = cls.STANDARD_TYPES[str(kind).lower()]
+        except KeyError:
+            raise ValueError(
+                f"unknown DOG preset {kind!r}; one of "
+                f"{sorted(cls.STANDARD_TYPES)}") from None
+        return cls(n, sigma)
+
     @property
     def _norm(self):
         return math.sqrt(_double_factorial(2 * self.n - 1)

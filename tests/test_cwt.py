@@ -51,6 +51,17 @@ def test_psi_hat_matches_numerical_fft_of_psi(w):
     assert np.std(ratio.imag) < 5e-3 * abs(np.mean(ratio))
 
 
+def test_dog_standard_presets():
+    # DOGWavelet.java:401-406 createStandard + :56-76 WaveletType orders
+    assert DOGWavelet.standard("edge").n == 1
+    assert DOGWavelet.standard("MEXICAN_HAT").n == 2
+    assert DOGWavelet.standard("Ricker", sigma=2.0).sigma == 2.0
+    assert DOGWavelet.standard("zero_crossing").n == 3
+    assert DOGWavelet.standard("ridge").n == 4
+    with pytest.raises(ValueError, match="unknown DOG preset"):
+        DOGWavelet.standard("bogus")
+
+
 @pytest.mark.parametrize("w", WAVELETS, ids=lambda w: w.name)
 def test_zero_mean_admissibility(w):
     # Admissible wavelets have ψ̂(0) = 0 (zero mean).
