@@ -218,6 +218,21 @@ def bench_scattering(batch=8, n=65536, j=8, q=8):
     return batch * n / _time_chain(step, x)
 
 
+def bench_scattering2d(batch=4, n=256, j=4, l=8):
+    """2D scattering (order 2): input pixels/s through the full cascade."""
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n)),
+                    jnp.float32)
+
+    def step(v):
+        r = jw.scattering2d(v, j=j, l=l)
+        mix = (jnp.sum(r.s1, axis=-3) + jnp.sum(r.s2, axis=-3)
+               + r.s0)  # (..., N/T, N/T)
+        up = jnp.repeat(jnp.repeat(mix, 1 << j, axis=-2), 1 << j, axis=-1)
+        return v + 1e-30 * up
+
+    return batch * n * n / _time_chain(step, x)
+
+
 def bench_ssq(batch=4, n=4096, n_scales=32):
     """Synchrosqueezed CWT: input samples/s (W, ∂W, reassignment, Tx)."""
     wav = jw.MorletWavelet()
@@ -298,6 +313,7 @@ def main():
         run("cwt_mexhat_64scales",
             lambda: bench_cwt(wavelet=jw.MexicanHatWavelet()))
         run("scattering1d_j8q8", bench_scattering)
+        run("scattering2d_j4l8", bench_scattering2d)
         run("ssq_morlet_32scales", bench_ssq)
         run("modwt2_fwd_fused_512", bench_modwt2)
         run("modwt2_fwd_xla_512", lambda: bench_modwt2(method="direct"))

@@ -172,17 +172,52 @@ def _pair_table2d(j: int, l: int):
 
 def _lowpass_subsample2(yhat: jax.Array, phi: jax.Array, t: int) -> jax.Array:
     """ifft2(fold²(Ŷ·φ̂, T)) — low-pass then exact ↓T along both axes."""
-    yhat = yhat * phi
-    if t > 1:
+    return jnp.fft.ifft2(_spectral_fold2(yhat * phi, t), axes=(-2, -1)).real
+
+
+def _spectral_fold2(yhat: jax.Array, d: int) -> jax.Array:
+    """Fold Ŷ to (H/d, W/d) — the spectrum of the ↓d-decimated image."""
+    if d > 1:
         h, w = yhat.shape[-2], yhat.shape[-1]
-        yhat = yhat.reshape(*yhat.shape[:-2], t, h // t, w).mean(axis=-3)
-        yhat = yhat.reshape(*yhat.shape[:-1], t, w // t).mean(axis=-2)
-    return jnp.fft.ifft2(yhat, axes=(-2, -1)).real
+        yhat = yhat.reshape(*yhat.shape[:-2], d, h // d, w).mean(axis=-3)
+        yhat = yhat.reshape(*yhat.shape[:-1], d, w // d).mean(axis=-2)
+    return yhat
+
+
+def _subsample_filter2(f_full: np.ndarray, d: int) -> np.ndarray:
+    """Exact DFT-grid restriction of an (H, W) filter to the (H/d, W/d)
+    grid: the four corner blocks (low |k_y| × low |k_x|) — the 2D analog of
+    ``ops.scattering._subsample_filter``, exact for filters supported
+    inside the decimated Nyquist square."""
+    if d == 1:
+        return f_full
+    h, w = f_full.shape[-2], f_full.shape[-1]
+    mh, mw = h // d, w // d
+    lh, lw = mh // 2 + 1, mw // 2 + 1
+    rows = np.concatenate([f_full[..., :lh, :],
+                           f_full[..., h - (mh - lh):, :]], axis=-2)
+    return np.concatenate([rows[..., :lw],
+                           rows[..., w - (mw - lw):]], axis=-1)
+
+
+def _octave_decimations(j: int, t: int, oversampling: int) -> np.ndarray:
+    """Per-octave pow-2 decimation: the octave-j atom band's top edge is
+    ξ_j + 3/σ_j rad; keep the decimated Nyquist π/d at 2^oversampling×
+    margin above it (envelope bandwidth ≲ the atom band — the same
+    kymatio rule as the 1D tier).  j₂ > j₁ pairs need no extra slack:
+    every later filter is strictly narrower."""
+    top = (XI0 + 3.0 / SIGMA0) / (1 << np.arange(j))
+    d = np.ones(j, dtype=np.int64)
+    for i in range(j):
+        while (d[i] * 2 <= t
+               and math.pi / (d[i] * 2) >= 2.0 ** oversampling * top[i]):
+            d[i] *= 2
+    return d
 
 
 def scattering2d(x: jax.Array, j: int, l: int = 8, order: int = 2,
-                 subsample: int | None = None,
-                 slant: float = 0.5) -> Scattering2DResult:
+                 subsample: int | None = None, slant: float = 0.5,
+                 oversampling: int = 0) -> Scattering2DResult:
     """Wavelet scattering of an image ``x`` (..., H, W): ``j`` octaves,
     ``l`` orientations over [0, π).
 
@@ -191,6 +226,16 @@ def scattering2d(x: jax.Array, j: int, l: int = 8, order: int = 2,
     ``slant``: angular-selectivity eccentricity of the Morlet envelope
     (smaller = more orientation-selective).  Jits, batches over leading
     dims, and differentiates (modulus subgradient per JAX `abs`).
+
+    Multiresolution evaluation (the 2D analog of
+    :func:`ops.scattering.scattering1d`'s): octave-j paths run on a 2D
+    grid decimated by a pow-2 stride d_j — a double spectral fold + short
+    ifft2 IS the decimated image, exactly — so a path costs (H·W)/d²
+    instead of H·W.  ``oversampling`` tightens parity with the full-
+    resolution cascade (large values force every stride to 1, recovering
+    it bit-exactly); the default (0) keeps ~2e-3 relative agreement
+    (envelope-harmonic aliasing) for a 3-8x FFT-volume cut — the 2D Morlet
+    bank is low-Q, so margins cost more decimation than in 1D.
     """
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
@@ -207,23 +252,61 @@ def scattering2d(x: jax.Array, j: int, l: int = 8, order: int = 2,
         raise ValueError("order must be 1 or 2")
     psi_np, phi_np, meta1 = scattering2d_filters(h, w, j, l, slant)
     rdt = jnp.result_type(x.dtype, jnp.float32)
-    psi = jnp.asarray(psi_np, dtype=rdt)
-    phi = jnp.asarray(phi_np, dtype=rdt)
+    phi_by: dict[int, jax.Array] = {}
+
+    def phi_at(d):
+        if d not in phi_by:
+            phi_by[d] = jnp.asarray(_subsample_filter2(phi_np, d), dtype=rdt)
+        return phi_by[d]
+
+    d_oct = _octave_decimations(j, t, oversampling)
+    i1, j2, t2 = _pair_table2d(j, l)
+    d2p = (np.maximum(d_oct[i1 // l], d_oct[j2]) if i1.size
+           else np.zeros(0, np.int64))
 
     xhat = jnp.fft.fft2(x, axes=(-2, -1))
-    s0 = _lowpass_subsample2(xhat, phi, t)
-    u1 = jnp.abs(jnp.fft.ifft2(xhat[..., None, :, :] * psi,
-                               axes=(-2, -1)))        # (..., J·L, H, W)
-    u1hat = jnp.fft.fft2(u1, axes=(-2, -1))
-    s1 = _lowpass_subsample2(u1hat, phi, t)
+    s0 = _lowpass_subsample2(xhat, phi_at(1), t)
+
+    s1_parts, idx_parts, u1hat_by = [], [], {}
+    d1 = d_oct[meta1[:, 0]]  # per first-order path (j-major ⇒ contiguous)
+    for d in sorted(set(d1.tolist())):
+        idx = np.nonzero(d1 == d)[0]
+        psi_g = jnp.asarray(psi_np[idx], dtype=rdt)
+        yhat = _spectral_fold2(xhat[..., None, :, :] * psi_g, d)
+        u1hat = jnp.fft.fft2(jnp.abs(jnp.fft.ifft2(yhat, axes=(-2, -1))),
+                             axes=(-2, -1))      # (..., Lg, H/d, W/d)
+        s1_parts.append(_lowpass_subsample2(u1hat, phi_at(d), t // d))
+        idx_parts.append(idx)
+        u1hat_by[d] = (idx, u1hat)
+    s1 = (s1_parts[0] if len(s1_parts) == 1
+          else jnp.concatenate(s1_parts, axis=-3))
+    perm = np.concatenate(idx_parts)
+    if not np.array_equal(perm, np.arange(len(meta1))):
+        s1 = jnp.take(s1, jnp.asarray(np.argsort(perm)), axis=-3)
 
     s2 = None
-    i1, j2, t2 = _pair_table2d(j, l)
     if order == 2 and i1.size:
-        psi2_sel = jnp.asarray(psi_np[j2 * l + t2], dtype=rdt)
-        u2hat = jnp.take(u1hat, jnp.asarray(i1), axis=-3) * psi2_sel
-        u2 = jnp.abs(jnp.fft.ifft2(u2hat, axes=(-2, -1)))
-        s2 = _lowpass_subsample2(jnp.fft.fft2(u2, axes=(-2, -1)), phi, t)
+        s2_parts, pair_parts = [], []
+        for d, (idx, u1hat) in sorted(u1hat_by.items()):
+            pos = {a: k for k, a in enumerate(idx)}
+            in_g = np.nonzero(d1[i1] == d)[0]
+            for dd in sorted(set(d2p[in_g].tolist())):
+                sel = in_g[d2p[in_g] == dd]
+                loc = np.asarray([pos[a] for a in i1[sel]])
+                rows = jnp.take(u1hat, jnp.asarray(loc), axis=-3)
+                psi2_g = jnp.asarray(
+                    _subsample_filter2(psi_np[j2[sel] * l + t2[sel]], d),
+                    dtype=rdt)
+                u2hat = _spectral_fold2(rows * psi2_g, dd // d)
+                u2 = jnp.abs(jnp.fft.ifft2(u2hat, axes=(-2, -1)))
+                s2_parts.append(_lowpass_subsample2(
+                    jnp.fft.fft2(u2, axes=(-2, -1)), phi_at(dd), t // dd))
+                pair_parts.append(sel)
+        s2 = (s2_parts[0] if len(s2_parts) == 1
+              else jnp.concatenate(s2_parts, axis=-3))
+        po = np.concatenate(pair_parts)
+        if not np.array_equal(po, np.arange(len(i1))):
+            s2 = jnp.take(s2, jnp.asarray(np.argsort(po)), axis=-3)
     elif order == 2:
         s2 = jnp.zeros((*x.shape[:-2], 0, h // t, w // t), dtype=s1.dtype)
 

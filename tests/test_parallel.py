@@ -467,7 +467,9 @@ def test_scattering2d_path_sharded_matches(rng):
     from jwave_pro_tpu.parallel.sharded import scattering2d_sharded
     mesh = make_mesh({"scale": 8})
     img = rng.standard_normal((32, 32)).astype(np.float32)
-    want = jw.scattering2d(img, j=2, l=4)          # J·L = 8 paths
+    # the sharded cascade is full-resolution — compare vs the exact
+    # (undecimated) single-device reference
+    want = jw.scattering2d(img, j=2, l=4, oversampling=64)  # J·L = 8 paths
     got = scattering2d_sharded(img, j=2, l=4, mesh=mesh)
     np.testing.assert_allclose(np.asarray(got.s0), np.asarray(want.s0),
                                atol=1e-5)

@@ -151,6 +151,16 @@ def main():
     err = float(jax.jit(scat_err)(xs))
     ok &= check("multires scattering ≡ full-res", err, 5e-3)
 
+    # 2D multires scattering ≡ full-resolution cascade
+    def scat2_err(v):
+        fast = jw.scattering2d(v, j=3, l=4).stack()
+        exact = jw.scattering2d(v, j=3, l=4, oversampling=64).stack()
+        return jnp.max(jnp.abs(fast - exact)) / jnp.max(jnp.abs(exact))
+    img = jnp.asarray(np.random.default_rng(8).standard_normal((2, 64, 64)),
+                      jnp.float32)
+    err = float(jax.jit(scat2_err)(img))
+    ok &= check("multires 2D scattering ≡ full-res", err, 1e-2)
+
     # ridge extraction finds the 40 Hz tone on device
     def ridge_err(v):
         r = jw.ssq_cwt(v, sq_scales, sampling_rate=512.0)
