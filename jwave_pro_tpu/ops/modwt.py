@@ -31,6 +31,7 @@ cheap unrolled chain of convs; all parallelism is per-sample/batch.
 """
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -107,6 +108,34 @@ def _wrapped_filter_fft(f: np.ndarray, dilation: int, n: int):
     idx = (np.arange(f.shape[0]) * dilation) % n
     np.add.at(w, idx, f)
     return np.fft.rfft(w)
+
+
+@functools.lru_cache(maxsize=128)
+def _composite_fft_multipliers(wavelet: DiscreteWavelet, level: int, n: int):
+    """The whole à-trous cascade as one (level+1, F) multiplier stack.
+
+    Circular convolutions compose exactly on the DFT grid, so
+    ``W_j = (Π_{i<j} G_i)·H_j·X`` and ``V_J = (Π G_i)·X`` — algebraically
+    identical to the per-level ``circularConvolveFFT`` cascade
+    (``MODWTTransform.java:752-786``) but collapsing 3·J FFT passes into
+    one rfft + one batched irfft.  Host-side complex128; row order matches
+    :func:`modwt` (W_1..W_J then V_J).
+    """
+    g, h = modwt_base_filters(wavelet)
+    rows = []
+    cum = np.ones(n // 2 + 1, dtype=np.complex128)
+    for j in range(1, level + 1):
+        d = 1 << (j - 1)
+        rows.append(cum * _wrapped_filter_fft(h, d, n))
+        cum = cum * _wrapped_filter_fft(g, d, n)
+    rows.append(cum)
+    return np.stack(rows)
+
+
+def _composite_shape(mult: np.ndarray, batch_ndim: int):
+    """Reshape the (R, F) stack to broadcast over leading batch dims."""
+    r, f = mult.shape
+    return mult.reshape((r,) + (1,) * batch_ndim + (f,))
 
 
 def _use_fft(method: str, n: int, m_base: int, dilation: int) -> bool:
@@ -245,6 +274,14 @@ def modwt(x: jax.Array, wavelet: DiscreteWavelet, level: int,
                 f"{x.dtype} on backend {jax.default_backend()}")
         method = "auto"
     g, h = modwt_base_filters(wavelet)
+    n = x.shape[-1]
+    if method in ("fft", "auto") and _use_fft(method, n, g.shape[0], 1):
+        # composite spectral cascade: one rfft + one batched irfft
+        mult = _composite_shape(
+            _composite_fft_multipliers(wavelet, level, n), x.ndim - 1)
+        xf = jnp.fft.rfft(x)
+        prod = xf[None] * jnp.asarray(mult).astype(xf.dtype)
+        return jnp.fft.irfft(prod, n=n).astype(x.dtype)
     rows = []
     v = x
     for j in range(1, level + 1):
@@ -277,6 +314,15 @@ def imodwt(coeffs: jax.Array, wavelet: DiscreteWavelet,
     g, h = modwt_base_filters(wavelet)
     v = coeffs[level]
     n = coeffs.shape[-1]
+    if method in ("fft", "auto") and _use_fft(method, n, g.shape[0], 1):
+        # adjoint composite cascade: the per-level conj multipliers compose
+        # to the conj of the forward stack — (level+1) rffts, ONE irfft
+        mult = _composite_shape(
+            _composite_fft_multipliers(wavelet, level, n), coeffs.ndim - 2)
+        cf = jnp.fft.rfft(coeffs)
+        acc = jnp.sum(cf * jnp.conj(jnp.asarray(mult)).astype(cf.dtype),
+                      axis=0)
+        return jnp.fft.irfft(acc, n=n).astype(coeffs.dtype)
     for j in range(level, 0, -1):
         d = 1 << (j - 1)
         if _use_fft(method, n, g.shape[0], d):
