@@ -41,9 +41,11 @@ import jax
 import jax.numpy as jnp
 
 from ..wavelets.base import DiscreteWavelet
+import functools
+
 from .modwt import (
-    _check_level, _combined_adjoint, _level_conv, _use_fft,
-    modwt_base_filters,
+    _check_level, _combined_adjoint, _composite_shape, _level_conv,
+    _use_fft, _wrapped_filter_fft, modwt_base_filters,
 )
 
 __all__ = [
@@ -106,6 +108,29 @@ def _try_pallas(x, wavelet, level, inverse=False):
     return kp.modwpt_fused(x, wavelet, level)
 
 
+@functools.lru_cache(maxsize=64)
+def _composite_packet_multipliers(wavelet: DiscreteWavelet, level: int,
+                                  n: int):
+    """The whole packet cascade as one (2^level, F) multiplier stack.
+
+    Replays :func:`_level_forward`'s recursion (child stack + sequency
+    permutation) on host-side complex128 spectral multipliers — circular
+    convs compose on the DFT grid, so the stack is algebraically identical
+    to the per-level FFT cascade while costing 1 rfft + 1 batched irfft
+    (the packet analog of ``ops.modwt._composite_fft_multipliers``).
+    """
+    g, h = modwt_base_filters(wavelet)
+    mults = np.ones((1, n // 2 + 1), dtype=np.complex128)
+    for j in range(1, level + 1):
+        d = 1 << (j - 1)
+        gf = _wrapped_filter_fft(g, d, n)
+        hf = _wrapped_filter_fft(h, d, n)
+        nat = np.stack([mults * gf, mults * hf], axis=1)
+        nat = nat.reshape(2 * mults.shape[0], -1)
+        mults = nat[_seq_perm(nat.shape[0])]
+    return mults
+
+
 def _level_forward(parents: jax.Array, g, h, j: int, method: str
                    ) -> jax.Array:
     """(P, ..., N) level-(j-1) nodes → (2P, ..., N) level-j nodes (sequency)."""
@@ -159,6 +184,13 @@ def modwpt(x: jax.Array, wavelet: DiscreteWavelet, level: int,
                 f"{x.dtype} on backend {jax.default_backend()}")
         method = "auto"
     g, h = modwt_base_filters(wavelet)
+    n = x.shape[-1]
+    if method in ("fft", "auto") and _use_fft(method, n, g.shape[0], 1):
+        mult = _composite_shape(
+            _composite_packet_multipliers(wavelet, level, n), x.ndim - 1)
+        xf = jnp.fft.rfft(x)
+        prod = xf[None] * jnp.asarray(mult).astype(xf.dtype)
+        return jnp.fft.irfft(prod, n=n).astype(x.dtype)
     nodes = x[jnp.newaxis]
     for j in range(1, level + 1):
         nodes = _level_forward(nodes, g, h, j, method)
@@ -189,6 +221,15 @@ def imodwpt(coeffs: jax.Array, wavelet: DiscreteWavelet,
                 f"{coeffs.dtype} on backend {jax.default_backend()}")
         method = "auto"
     g, h = modwt_base_filters(wavelet)
+    n = coeffs.shape[-1]
+    if method in ("fft", "auto") and _use_fft(method, n, g.shape[0], 1):
+        mult = _composite_shape(
+            _composite_packet_multipliers(wavelet, level, n),
+            coeffs.ndim - 2)
+        cf = jnp.fft.rfft(coeffs)
+        acc = jnp.sum(cf * jnp.conj(jnp.asarray(mult)).astype(cf.dtype),
+                      axis=0)
+        return jnp.fft.irfft(acc, n=n).astype(coeffs.dtype)
     nodes = coeffs
     for j in range(level, 0, -1):
         nodes = _level_inverse(nodes, g, h, j, method)
