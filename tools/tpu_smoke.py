@@ -151,6 +151,17 @@ def main():
     err = float(jax.jit(scat_err)(xs))
     ok &= check("multires scattering ≡ full-res", err, 5e-3)
 
+    # EWT tight-frame roundtrip on device (adaptive per-signal banks)
+    def ewt_err(v):
+        r = jw.ewt1d(v, 3)
+        return jnp.max(jnp.abs(r.reconstruct() - v))
+    tt = np.arange(4096)
+    tones = (np.sin(2 * np.pi * 0.03 * tt) + 0.7 * np.sin(2 * np.pi * 0.13 * tt)
+             + 0.5 * np.sin(2 * np.pi * 0.31 * tt))
+    err = float(jax.jit(ewt_err)(jnp.asarray(np.stack([tones] * 4),
+                                             jnp.float32)))
+    ok &= check("EWT adaptive tight-frame roundtrip", err, 1e-4)
+
     # 2D multires scattering ≡ full-resolution cascade
     def scat2_err(v):
         fast = jw.scattering2d(v, j=3, l=4).stack()
