@@ -49,9 +49,10 @@ from .ops.scattering2d import (  # noqa: F401
 )
 from .ops.fft import fft, ifft  # noqa: F401
 from .ops.analysis import (  # noqa: F401
-    VarianceCI, WTCResult, modwt_correlation, modwt_covariance,
-    modwt_cross_correlation, modwt_hurst, modwt_variance,
-    modwt_variance_ci, scale_energies, wavelet_coherence,
+    VarianceCI, WTCResult, envelope, hilbert, instantaneous_frequency,
+    modwt_correlation, modwt_covariance, modwt_cross_correlation,
+    modwt_hurst, modwt_variance, modwt_variance_ci, scale_energies,
+    wavelet_coherence,
 )
 from .ops.lifting import cdf53, cdf97, icdf53, icdf97  # noqa: F401
 from .ops.pywt_compat import (  # noqa: F401

@@ -13,6 +13,7 @@ horizon), and CWT squared wavelet coherence with Torrence–Compo smoothing.
 from __future__ import annotations
 
 import functools
+import math
 import typing
 
 import numpy as np
@@ -26,8 +27,53 @@ from .modwt import modwt
 __all__ = [
     "modwt_variance", "modwt_variance_ci", "VarianceCI", "modwt_covariance",
     "modwt_correlation", "modwt_cross_correlation", "modwt_hurst",
-    "scale_energies", "WTCResult", "wavelet_coherence",
+    "scale_energies", "WTCResult", "wavelet_coherence", "hilbert",
+    "envelope", "instantaneous_frequency",
 ]
+
+
+def hilbert(x: jax.Array) -> jax.Array:
+    """Analytic signal x + i·H[x] of real ``x`` (..., N) — one-sided FFT.
+
+    The spectral one-sided multiplier (2 on positive bins, 1 at DC and
+    Nyquist, 0 on negative bins) — the standard FFT construction; batches
+    over leading dims, jits (static N).  The discrete companion of the
+    analytic continuous wavelets (``wavelets/continuous.py``): |result| is
+    the amplitude envelope, its phase derivative the instantaneous
+    frequency used by the SSQ/ridge tier.
+    """
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("hilbert expects a real signal")
+    n = x.shape[-1]
+    xf = jnp.fft.fft(x)
+    mult = np.zeros(n)
+    mult[0] = 1.0
+    if n % 2 == 0:
+        mult[n // 2] = 1.0
+        mult[1:n // 2] = 2.0
+    else:
+        mult[1:(n + 1) // 2] = 2.0
+    return jnp.fft.ifft(xf * jnp.asarray(mult, dtype=xf.real.dtype))
+
+
+def envelope(x: jax.Array) -> jax.Array:
+    """Amplitude envelope |x + i·H[x]| of a real signal."""
+    return jnp.abs(hilbert(x))
+
+
+def instantaneous_frequency(x: jax.Array,
+                            sampling_rate: float = 1.0) -> jax.Array:
+    """Instantaneous frequency (Hz) of real ``x`` (..., N) → (..., N−1).
+
+    Phase increments of the analytic signal via the wrap-free identity
+    angle(z_{k+1}·conj(z_k)) — no unwrap pass (branch-free, jit-friendly);
+    divided by 2πΔt.  Meaningful for (locally) monocomponent signals; for
+    multicomponent ones use :func:`..ops.ssq.ssq_cwt` + ridge extraction.
+    """
+    z = hilbert(x)
+    dphi = jnp.angle(z[..., 1:] * jnp.conj(z[..., :-1]))
+    return dphi * (float(sampling_rate) / (2.0 * math.pi))
 
 
 def _boundary_counts(n: int, level: int, filter_len: int):

@@ -346,3 +346,46 @@ class TestUnbiasedVarianceAndCI:
         c = np.asarray(jw.modwt(x, DB4, 3, method="direct"))
         np.testing.assert_allclose(a, np.mean(c[:3] ** 2, axis=-1),
                                    rtol=1e-12)
+
+
+class TestHilbert:
+    def test_analytic_signal_of_tone(self):
+        # H[cos] = sin → analytic signal of cos(ωt) is e^{iωt}
+        # (bin-aligned tone: the circular Hilbert transform is exact)
+        n, f0 = 1024, 50.0 / 1024
+        t = np.arange(n)
+        z = np.asarray(jw.hilbert(jnp.asarray(np.cos(2 * np.pi * f0 * t))))
+        np.testing.assert_allclose(z.real, np.cos(2 * np.pi * f0 * t),
+                                   atol=1e-10)
+        np.testing.assert_allclose(z.imag, np.sin(2 * np.pi * f0 * t),
+                                   atol=1e-10)
+
+    def test_envelope_of_am_signal(self):
+        n = 2048
+        t = np.arange(n)
+        am = 1.0 + 0.5 * np.sin(2 * np.pi * 0.004 * t)
+        x = am * np.sin(2 * np.pi * 0.2 * t)
+        env = np.asarray(jw.envelope(jnp.asarray(x)))
+        # interior only (circular edge effects at the AM rate)
+        np.testing.assert_allclose(env[64:-64], am[64:-64], rtol=2e-2)
+
+    def test_instantaneous_frequency_of_chirp(self):
+        n, fs = 4096, 1000.0
+        t = np.arange(n) / fs
+        f_inst = 50.0 + 100.0 * t  # linear chirp
+        phase = 2 * np.pi * (50.0 * t + 50.0 * t**2)
+        fi = np.asarray(jw.instantaneous_frequency(
+            jnp.asarray(np.sin(phase)), sampling_rate=fs))
+        mid = slice(256, -256)
+        np.testing.assert_allclose(fi[mid], f_inst[:-1][mid], rtol=3e-2)
+
+    def test_batch_odd_length_and_validation(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((3, 501))
+        z = np.asarray(jw.hilbert(jnp.asarray(x)))
+        assert z.shape == (3, 501)
+        np.testing.assert_allclose(z.real, x, atol=1e-10)  # Re part exact
+        one = np.asarray(jw.hilbert(jnp.asarray(x[1])))
+        np.testing.assert_allclose(z[1], one, atol=1e-12)
+        with pytest.raises(ValueError, match="real"):
+            jw.hilbert(jnp.asarray(x, dtype=complex))
