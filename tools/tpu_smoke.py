@@ -151,6 +151,15 @@ def main():
     err = float(jax.jit(scat_err)(xs))
     ok &= check("multires scattering ≡ full-res", err, 5e-3)
 
+    # DTCWT: dual-tree roundtrip through the MXU step matmuls
+    def dtcwt_err(v):
+        r = jw.dtcwt(v, 4)
+        return jnp.max(jnp.abs(jw.idtcwt(r) - v))
+    xd = jnp.asarray(np.random.default_rng(9).standard_normal((4, 4096)),
+                     jnp.float32)
+    err = float(jax.jit(dtcwt_err)(xd))
+    ok &= check("DTCWT dual-tree roundtrip", err, 1e-4)
+
     # EWT tight-frame roundtrip on device (adaptive per-signal banks)
     def ewt_err(v):
         r = jw.ewt1d(v, 3)
