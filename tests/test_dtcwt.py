@@ -140,3 +140,54 @@ class TestDTCWT:
             jw.dtcwt(x, 0)
         with pytest.raises(ValueError, match="real"):
             jw.dtcwt(x.astype(complex), 2)
+
+
+class TestDTCWT2D:
+    def test_exact_reconstruction_and_energy(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 64, 96)))
+        r = jw.dtcwt2(x, 3)
+        assert [h.shape[-3:] for h in r.highpass] == [
+            (6, 32, 48), (6, 16, 24), (6, 8, 12)]
+        assert r.lowpass.shape[-3:] == (4, 8, 12)
+        np.testing.assert_allclose(np.asarray(jw.idtcwt2(r)), np.asarray(x),
+                                   atol=1e-10)
+        e = (0.5 * sum(float(jnp.sum(jnp.abs(h) ** 2)) for h in r.highpass)
+             + 0.25 * float(jnp.sum(r.lowpass**2)))
+        assert abs(e / float(jnp.sum(x**2)) - 1.0) < 1e-12
+
+    def test_orientation_sign_selectivity(self):
+        # ±45° gratings in the level-1 band must land in opposite members
+        # of each (z+, z−) pair with strong selectivity
+        i, j = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        f0 = 0.3  # cycles/sample → in the level-1 half-band
+        rp = jw.dtcwt2(jnp.asarray(np.cos(2 * np.pi * f0 * (i + j))), 2)
+        rm = jw.dtcwt2(jnp.asarray(np.cos(2 * np.pi * f0 * (i - j))), 2)
+        ep = [float(jnp.sum(jnp.abs(rp.highpass[0][b]) ** 2))
+              for b in range(6)]
+        em = [float(jnp.sum(jnp.abs(rm.highpass[0][b]) ** 2))
+              for b in range(6)]
+        # HH pair (bands 4, 5) dominates for diagonal gratings and flips
+        assert ep[4] > 5 * ep[5] and em[5] > 5 * em[4]
+        assert ep[4] > 2 * max(ep[0], ep[1], ep[2], ep[3])
+
+    def test_magnitude_shift_invariance_2d(self, rng):
+        x = jnp.asarray(rng.standard_normal((64, 64)))
+        r0 = jw.dtcwt2(x, 3)
+        r1 = jw.dtcwt2(jnp.roll(x, (1, 1), axis=(-2, -1)), 3)
+        for jlev in range(1, 3):
+            a, b = r0.highpass[jlev], r1.highpass[jlev]
+            ea = float(jnp.sum(jnp.abs(a) ** 2))
+            var = abs(ea - float(jnp.sum(jnp.abs(b) ** 2))) / ea
+            assert var < 0.03, (jlev, var)
+
+    def test_jit_batch_f32(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 32, 32)), jnp.float32)
+        f = jax.jit(lambda v: jw.idtcwt2(jw.dtcwt2(v, 2)))
+        np.testing.assert_allclose(np.asarray(f(x)), np.asarray(x),
+                                   atol=1e-5)
+
+    def test_validation(self, rng):
+        with pytest.raises(ValueError, match="divisible"):
+            jw.dtcwt2(jnp.asarray(rng.standard_normal((60, 64))), 3)
+        with pytest.raises(ValueError, match="image"):
+            jw.dtcwt2(jnp.asarray(rng.standard_normal(64)), 2)

@@ -160,6 +160,14 @@ def main():
     err = float(jax.jit(dtcwt_err)(xd))
     ok &= check("DTCWT dual-tree roundtrip", err, 1e-4)
 
+    def dtcwt2_err(v):
+        return jnp.max(jnp.abs(jw.idtcwt2(jw.dtcwt2(v, 3)) - v))
+    xd2 = jnp.asarray(np.random.default_rng(10).standard_normal((2, 256,
+                                                                 256)),
+                      jnp.float32)
+    err = float(jax.jit(dtcwt2_err)(xd2))
+    ok &= check("DTCWT 2D four-tree roundtrip", err, 1e-4)
+
     # EWT tight-frame roundtrip on device (adaptive per-signal banks)
     def ewt_err(v):
         r = jw.ewt1d(v, 3)
