@@ -42,8 +42,8 @@ from .ops.ssq import SSQResult, issq_cwt, ssq_cwt  # noqa: F401
 from .ops.ridge import RidgeResult, extract_ridges  # noqa: F401
 from .ops.ewt import EWTResult, ewt1d, ewt_filter_bank, iewt1d  # noqa: F401
 from .ops.dtcwt import (  # noqa: F401
-    DTCWT2Result, DTCWTResult, dtcwt, dtcwt2, idtcwt, idtcwt2,
-    qshift_design, qshift_wavelets,
+    DTCWT2Result, DTCWTResult, dtcwt, dtcwt2, dtcwt2_denoise, dtcwt_denoise,
+    idtcwt, idtcwt2, qshift_design, qshift_wavelets,
 )
 from .ops.scattering import (  # noqa: F401
     ScatteringResult, scattering1d, scattering_filters,

@@ -142,6 +142,48 @@ class TestDTCWT:
             jw.dtcwt(x.astype(complex), 2)
 
 
+class TestDTCWTDenoise:
+    def test_1d_mse_improves_and_shift_consistency(self, rng):
+        # piecewise-constant signal — the standard wavelet-thresholding
+        # setting (sustained tones spread energy across many mid-size
+        # coefficients and defeat ANY universal rule: the MODWT pipeline
+        # measures 5.7× WORSE-than-noisy there, dtcwt 1.3×)
+        n = 2048
+        t = np.arange(n)
+        clean = np.where((t // 256) % 2 == 0, 1.0, -1.0).astype(float)
+        noisy = clean + 0.3 * rng.standard_normal(n)
+        mse_in = np.mean((noisy - clean) ** 2)
+        den_soft = np.asarray(jw.dtcwt_denoise(jnp.asarray(noisy), 5))
+        assert np.mean((den_soft - clean) ** 2) < 0.6 * mse_in
+        den = np.asarray(jw.dtcwt_denoise(jnp.asarray(noisy), 5,
+                                          mode="hard"))
+        assert np.mean((den - clean) ** 2) < 0.3 * mse_in
+        # near shift-invariance of the PIPELINE: denoise(roll) ≈ roll(denoise)
+        den_s = np.asarray(jw.dtcwt_denoise(jnp.asarray(np.roll(noisy, 1)),
+                                            5, mode="hard"))
+        drift = np.linalg.norm(den_s - np.roll(den, 1)) / np.linalg.norm(den)
+        assert drift < 0.15, drift
+
+    def test_2d_mse_improves(self, rng):
+        h = w = 64
+        i, j = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        clean = np.sin(2 * np.pi * (3 * i + 5 * j) / h)
+        noisy = clean + 0.5 * rng.standard_normal((h, w))
+        den = np.asarray(jw.dtcwt2_denoise(jnp.asarray(noisy), 3))
+        assert (np.mean((den - clean) ** 2)
+                < 0.35 * np.mean((noisy - clean) ** 2))
+
+    def test_hard_mode_and_explicit_threshold(self, rng):
+        x = jnp.asarray(rng.standard_normal(256))
+        out = jw.dtcwt_denoise(x, 3, mode="hard", threshold=10.0)
+        # huge threshold kills every detail band; only lowpass survives
+        r = jw.dtcwt(out, 3)
+        assert float(sum(jnp.sum(jnp.abs(h) ** 2)
+                         for h in r.highpass)) < 0.05 * float(jnp.sum(x**2))
+        with pytest.raises(ValueError, match="mode"):
+            jw.dtcwt_denoise(x, 2, mode="bogus")
+
+
 class TestDTCWT2D:
     def test_exact_reconstruction_and_energy(self, rng):
         x = jnp.asarray(rng.standard_normal((2, 64, 96)))
