@@ -122,6 +122,22 @@ def bench_modwpt2(batch=8, n=512, level=2, method="auto"):
     return batch * n * n / _time_chain(step, x)
 
 
+def bench_mp(batch=8, n=65536, level=3, k=16):
+    """Matching pursuit: K greedy picks, each one fused MODWPT pass over the
+    residual + argmax + rolled subtraction.  Input samples/s for the full
+    K-atom decomposition (so per-pick rate is k× this)."""
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    jnp.float32)
+
+    def step(v):
+        r = jw.matching_pursuit(v, w, level, k)
+        # residual depends on every pick; amps feedback pins the outputs too
+        return r.residual + 1e-30 * jnp.sum(r.amps, axis=-1, keepdims=True)
+
+    return batch * n / _time_chain(step, x)
+
+
 def bench_wpt(dtype=jnp.float32, batch=64, n=65536, level=6):
     w = jw.wavelet("Symlet 8")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
@@ -309,6 +325,7 @@ def main():
         run("wpt_sym8_L6", bench_wpt)
         run("modwpt_db4_L3", bench_modwpt)
         run("modwpt2_db4_L2", bench_modwpt2)
+        run("mp_db4_L3_k16", bench_mp)
         run("cwt_morlet_64scales", bench_cwt)
         run("cwt_mexhat_64scales",
             lambda: bench_cwt(wavelet=jw.MexicanHatWavelet()))

@@ -41,6 +41,7 @@ from .ops.cwt2d import CWT2Result, cwt2, icwt2  # noqa: F401
 from .ops.ssq import SSQResult, issq_cwt, ssq_cwt  # noqa: F401
 from .ops.ridge import RidgeResult, extract_ridges  # noqa: F401
 from .ops.ewt import EWTResult, ewt1d, ewt_filter_bank, iewt1d  # noqa: F401
+from .ops.mp import MPResult, matching_pursuit, mp_reconstruct  # noqa: F401
 from .ops.dtcwt import (  # noqa: F401
     DTCWT2Result, DTCWTResult, dtcwt, dtcwt2, dtcwt2_denoise, dtcwt_denoise,
     idtcwt, idtcwt2, qshift_design, qshift_wavelets,

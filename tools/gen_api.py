@@ -25,10 +25,15 @@ SECTIONS = [
     ("jwave_pro_tpu.ops.wpt", "Wavelet Packet Transform + best basis"),
     ("jwave_pro_tpu.ops.modwt", "MODWT"),
     ("jwave_pro_tpu.ops.modwt2d", "2D MODWT"),
+    ("jwave_pro_tpu.ops.modwpt", "MODWPT (shift-invariant packets)"),
     ("jwave_pro_tpu.ops.analysis", "Wavelet variance/covariance"),
     ("jwave_pro_tpu.ops.cwt", "Continuous Wavelet Transform (+ inverse)"),
     ("jwave_pro_tpu.ops.cwt2d", "2D Continuous Wavelet Transform"),
     ("jwave_pro_tpu.ops.ssq", "Synchrosqueezed CWT"),
+    ("jwave_pro_tpu.ops.ridge", "Ridge extraction"),
+    ("jwave_pro_tpu.ops.dtcwt", "Dual-tree complex WT"),
+    ("jwave_pro_tpu.ops.ewt", "Empirical wavelet transform"),
+    ("jwave_pro_tpu.ops.mp", "Matching pursuit"),
     ("jwave_pro_tpu.ops.scattering", "Wavelet scattering (1D)"),
     ("jwave_pro_tpu.ops.scattering2d", "Wavelet scattering (2D)"),
     ("jwave_pro_tpu.ops.fft", "Fourier transforms"),
@@ -49,7 +54,6 @@ SECTIONS = [
     ("jwave_pro_tpu.utils.validation", "Shape/level helpers"),
     ("jwave_pro_tpu.utils.signals", "Test-signal generators"),
     ("jwave_pro_tpu.utils.profiling", "Profiling helpers"),
-    ("jwave_pro_tpu.models", "Model registry alias"),
 ]
 
 

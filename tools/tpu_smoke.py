@@ -198,6 +198,20 @@ def main():
     err = float(jax.jit(ridge_err)(tone))
     ok &= check("ridge tracks 40 Hz tone", err, 0.08)
 
+    # matching pursuit: greedy energy identity ‖x‖² − Σα² ≡ ‖r_K‖² and
+    # reconstruct+residual ≡ input, with the fused-MODWPT correlations
+    # inside the scan (exercises kernel-in-scan on the chip)
+    def mp_err(v):
+        r = jw.matching_pursuit(v, w, 3, 8)
+        xr = jw.mp_reconstruct(r, w) + r.residual
+        e_id = jnp.abs((jnp.sum(v ** 2, axis=-1)
+                        - jnp.sum(r.amps ** 2, axis=-1))
+                       - jnp.sum(r.residual ** 2, axis=-1))
+        scale = jnp.max(jnp.sum(v ** 2, axis=-1))
+        return jnp.max(jnp.abs(xr - v)) + jnp.max(e_id) / scale
+    err = float(jax.jit(mp_err)(x[:4, :4096]))
+    ok &= check("matching pursuit energy + recon identities", err, 1e-3)
+
     # 3D MODWT roundtrip on device
     vol = x[:4, :4096].reshape(4, 16, 16, 16)
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
