@@ -82,12 +82,54 @@ def _atom_tables(wavelet: DiscreteWavelet, level: int, n: int):
     return rev / norms[:, None], norms
 
 
+@functools.lru_cache(maxsize=64)
+def _spectral_tables(wavelet: DiscreteWavelet, level: int, n: int):
+    """``rfft(rev_unit)`` split into f32 (re, im) host tables ``(2^L, N/2+1)``.
+
+    Split because complex64 host→device transfers through the axon tunnel hit
+    UNIMPLEMENTED; the complex rows are rebuilt on-device with `lax.complex`.
+    """
+    rev, _ = _atom_tables(wavelet, level, n)
+    spec = np.fft.rfft(rev, axis=-1)
+    return (spec.real.astype(np.float32), spec.imag.astype(np.float32))
+
+
+def _use_spectral_roll(n: int) -> bool:
+    # XLA's TPU gather runs the (..., N) take_along_axis roll at ~4 ms where
+    # the phase-ramp irfft costs ~0.1 ms (39x, measured v5e, N=65536); the
+    # exact-mod phase trick below needs power-of-two N.  CPU keeps the exact
+    # f64 gather (the oracle tests difference it against brute force at 1e-12).
+    return jax.default_backend() == "tpu" and n >= 512 and (n & (n - 1)) == 0
+
+
 def _gather_atoms(rev_unit: jax.Array, nodes: jax.Array, shifts: jax.Array,
-                  n: int) -> jax.Array:
-    """Atom values ``(..., N)`` (or ``(..., K, N)``) for (node, shift) picks."""
-    rows = jnp.take(rev_unit, nodes, axis=0)               # (..., N)
-    idx = (jnp.arange(n, dtype=shifts.dtype) - shifts[..., None]) % n
-    return jnp.take_along_axis(rows, idx, axis=-1)
+                  n: int, spectral=None) -> jax.Array:
+    """Atom values ``(..., N)`` (or ``(..., K, N)``) for (node, shift) picks.
+
+    Two routes to ``roll(rev_unit[node], shift)`` with traced per-element
+    shifts: an exact gather (CPU / arbitrary N), or a spectral phase ramp
+    ``irfft(F[node] · e^{−iωt})`` (TPU, pow-2 N).  For pow-2 N the phase index
+    ``(k·t) mod N`` is computed in int32 — two's-complement wraparound is mod
+    2³², a multiple of N, so the low bits stay exact at any N·t product.
+    Atoms from either route are self-consistent between the greedy scan and
+    :func:`mp_reconstruct` (same table, same route), so reconstruct+residual
+    cancels to the working precision regardless of route.
+    """
+    if spectral is None:
+        spectral = _use_spectral_roll(n)
+    if not spectral:
+        rows = jnp.take(rev_unit, nodes, axis=0)           # (..., N)
+        idx = (jnp.arange(n, dtype=shifts.dtype) - shifts[..., None]) % n
+        return jnp.take_along_axis(rows, idx, axis=-1)
+    f_re, f_im = spectral
+    re = jnp.take(f_re, nodes, axis=0)                     # (..., F) tiny take
+    im = jnp.take(f_im, nodes, axis=0)
+    k = jnp.arange(n // 2 + 1, dtype=jnp.int32)
+    kt = (k * shifts[..., None].astype(jnp.int32)) & (n - 1)
+    ang = (-2.0 * np.pi / n) * kt.astype(f_re.dtype)
+    ph = lax.complex(jnp.cos(ang), jnp.sin(ang))
+    out = jnp.fft.irfft(lax.complex(re, im) * ph, n=n, axis=-1)
+    return out.astype(rev_unit.dtype)
 
 
 def matching_pursuit(x: jax.Array, wavelet: DiscreteWavelet, level: int,
@@ -126,22 +168,31 @@ def matching_pursuit(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     inv_norms = jnp.asarray(1.0 / norms_np, dtype=x.dtype)
     # broadcast 1/‖f_n‖ over the (2^L, ..., N) coefficient stack
     inv_b = inv_norms.reshape((num_nodes,) + (1,) * x.ndim)
+    spectral = (tuple(map(jnp.asarray, _spectral_tables(wavelet, level, n)))
+                if _use_spectral_roll(n) else False)
 
     def select(r):
-        """Best (node, shift, correlation) per batch element."""
+        """Best (node, shift, correlation) per batch element.
+
+        Two-stage argmax on the native (2^L, ..., N) layout — per-node best
+        shift, then best node — so the 2^L·N coefficient block is never
+        transposed (the moveaxis alternative materializes it twice).
+        """
         w = modwpt(r, wavelet, level, method=method) * inv_b
-        c = jnp.moveaxis(w, 0, -2)                      # (..., 2^L, N)
-        flat = c.reshape(c.shape[:-2] + (num_nodes * n,))
-        pick = jnp.argmax(jnp.abs(flat), axis=-1)       # (...,) node-major
-        node = (pick // n).astype(jnp.int32)
-        t = (pick % n).astype(jnp.int32)
-        amp = jnp.take_along_axis(flat, pick[..., None], axis=-1)[..., 0]
+        a = jnp.abs(w)
+        t_per = jnp.argmax(a, axis=-1).astype(jnp.int32)        # (2^L, ...)
+        v_per = jnp.max(a, axis=-1)                             # (2^L, ...)
+        node = jnp.argmax(v_per, axis=0).astype(jnp.int32)      # (...,)
+        t = jnp.take_along_axis(t_per, node[None], axis=0)[0]
+        # signed amp: small (2^L·batch)-output gather, then the node pick
+        w_bt = jnp.take_along_axis(w, t_per[..., None], axis=-1)[..., 0]
+        amp = jnp.take_along_axis(w_bt, node[None], axis=0)[0]
         return node, t, amp
 
     if not orthogonalize:
         def body(r, _):
             node, t, amp = select(r)
-            atom = _gather_atoms(rev_unit, node, t, n)  # (..., N)
+            atom = _gather_atoms(rev_unit, node, t, n, spectral)
             return r - amp[..., None] * atom, (node, t, amp)
 
         residual, (nodes, shifts, amps) = lax.scan(body, x, None,
@@ -162,7 +213,7 @@ def matching_pursuit(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     def obody(carry, k):
         r, buf, gram, b = carry
         node, t, _ = select(r)
-        atom = _gather_atoms(rev_unit, node, t, n)       # (..., N)
+        atom = _gather_atoms(rev_unit, node, t, n, spectral)  # (..., N)
         buf = _update_index(buf, atom, k, axis=-2)
         row = jnp.einsum("...ln,...n->...l", buf, atom)  # ⟨atom_j, atom_k⟩
         gram = _update_index(gram, row, k, axis=-2)
@@ -201,7 +252,10 @@ def mp_reconstruct(result: MPResult, wavelet: DiscreteWavelet,
             "mp_reconstruct under jit needs a static dictionary level: "
             "trace matching_pursuit and mp_reconstruct together, or close "
             "over the level instead of passing it through the jit boundary")
-    rev_np, _ = _atom_tables(wavelet, int(result.level), n)
+    level = int(result.level)
+    rev_np, _ = _atom_tables(wavelet, level, n)
     rev_unit = jnp.asarray(rev_np, dtype=result.amps.dtype)
-    atoms = _gather_atoms(rev_unit, result.nodes, result.shifts, n)
+    spectral = (tuple(map(jnp.asarray, _spectral_tables(wavelet, level, n)))
+                if _use_spectral_roll(n) else False)
+    atoms = _gather_atoms(rev_unit, result.nodes, result.shifts, n, spectral)
     return jnp.einsum("...k,...kn->...n", result.amps, atoms)
