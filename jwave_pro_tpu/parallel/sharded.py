@@ -39,7 +39,7 @@ __all__ = [
     "cwt2_sharded", "wpt_sharded", "iwpt_sharded", "fwt2_sharded",
     "fwt_sharded", "ifwt_sharded", "gather_fwt_layout",
     "scattering_sharded", "scattering2d_sharded", "ssq_sharded",
-    "modwt2_sharded", "imodwt2_sharded",
+    "modwt2_sharded", "imodwt2_sharded", "dtcwt_sharded", "idtcwt_sharded",
 ]
 
 
@@ -820,6 +820,94 @@ def ifwt_sharded(y, wavelet: DiscreteWavelet, level: int, mesh: Mesh,
     in_spec = _specs(mesh, y.ndim, signal_axis, batch_axis)
     return shard_map(body, mesh=mesh, in_specs=(in_spec,),
                      out_specs=in_spec)(y)
+
+
+def dtcwt_sharded(x, level: int, mesh: Mesh, level1=None, k: int = 4,
+                  l: int = 3, signal_axis: str = "signal",
+                  batch_axis: str = "data"):
+    """Signal-sharded dual-tree complex WT (parity layout with `ops.dtcwt`).
+
+    Both orthonormal trees ride the decimating halo ring (`_local_analysis`
+    + one `ppermute` right-context fetch per level per tree); tree b's
+    one-sample level-1 offset (`dtcwt` docstring) is a 1-sample halo fetch.
+    Unlike :func:`fwt_sharded`'s packed prefix, every subband is a separate
+    array whose shards ARE contiguous slices of the global decimated signal,
+    so outputs match :func:`..ops.dtcwt.dtcwt` elementwise with no gather
+    step.  Requires (N / n_shards) % 2^level == 0.
+    """
+    import math as _math
+
+    from ..ops.dtcwt import DTCWTResult, _tree_params
+
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(jnp.float32)
+    n = x.shape[-1]
+    d = mesh.shape[signal_axis]
+    if (n // d) % (1 << level) != 0:
+        raise ValueError(f"shard length {n//d} not divisible by 2^{level}")
+    w1, wa, wb = _tree_params(level1, k, l)
+    inv_sqrt2 = 1.0 / _math.sqrt(2.0)
+
+    def step(v, w):
+        ctx = _right_context(v, w.length - 2, signal_axis) \
+            if w.length > 2 else v[..., :0]
+        return _local_analysis(v, ctx, w)
+
+    def body(xl):
+        xb = jnp.concatenate(
+            [xl[..., 1:], _right_context(xl, 1, signal_axis)], axis=-1)
+        la, ha = step(xl, w1)
+        lb, hb = step(xb, w1)
+        highs = [(ha + 1j * hb) * inv_sqrt2]
+        for _ in range(2, level + 1):
+            la, ha = step(la, wa)
+            lb, hb = step(lb, wb)
+            highs.append((ha + 1j * hb) * inv_sqrt2)
+        return tuple(highs), la, lb
+
+    in_spec = _specs(mesh, x.ndim, signal_axis, batch_axis)
+    out_specs = (tuple(in_spec for _ in range(level)), in_spec, in_spec)
+    highs, la, lb = shard_map(body, mesh=mesh, in_specs=(in_spec,),
+                              out_specs=out_specs)(x)
+    return DTCWTResult(highpass=highs, lowpass_a=la, lowpass_b=lb)
+
+
+def idtcwt_sharded(res, mesh: Mesh, level1=None, k: int = 4, l: int = 3,
+                   signal_axis: str = "signal", batch_axis: str = "data"):
+    """Inverse of :func:`dtcwt_sharded` (exact, each tree orthonormal)."""
+    import math as _math
+
+    from ..ops.dtcwt import _tree_params
+
+    w1, wa, wb = _tree_params(level1, k, l)
+    sqrt2 = _math.sqrt(2.0)
+
+    def syn(lo, hi, w):
+        c = (w.length + 1) // 2
+        lo_ctx = _left_context(lo, c, signal_axis)
+        hi_ctx = _left_context(hi, c, signal_axis)
+        return _local_synthesis(lo, hi, lo_ctx, hi_ctx, w)
+
+    def body(highs, la, lb):
+        for w in highs[:0:-1]:
+            ha, hb = sqrt2 * jnp.real(w), sqrt2 * jnp.imag(w)
+            la = syn(la, ha, wa)
+            lb = syn(lb, hb, wb)
+        w0 = highs[0]
+        ha, hb = sqrt2 * jnp.real(w0), sqrt2 * jnp.imag(w0)
+        xa = syn(la, ha, w1)
+        xb = syn(lb, hb, w1)
+        xb = jnp.concatenate(
+            [_left_context(xb, 1, signal_axis), xb[..., :-1]], axis=-1)
+        return 0.5 * (xa + xb)
+
+    ndim = res.lowpass_a.ndim
+    spec = _specs(mesh, ndim, signal_axis, batch_axis)
+    in_specs = (tuple(spec for _ in res.highpass), spec, spec)
+    return shard_map(body, mesh=mesh, in_specs=in_specs,
+                     out_specs=spec)(tuple(res.highpass), res.lowpass_a,
+                                     res.lowpass_b)
 
 
 def gather_fwt_layout(y, level: int, n_shards: int):

@@ -516,3 +516,38 @@ def test_sharded_entry_validation(rng):
     mesh_s = make_mesh({"signal": 8})
     with pytest.raises(ValueError, match="theoretical limit|halo"):
         modwt2_sharded(rng.standard_normal((16, 16)), DB4, 5, mesh_s)
+
+
+@needs8
+def test_dtcwt_signal_sharded_matches_single(rng):
+    # subband-for-subband parity with the single-device dual tree — the
+    # sharded outputs need no gather step (contiguous decimated shards)
+    from jwave_pro_tpu.parallel.sharded import dtcwt_sharded
+    mesh = make_mesh({"signal": 8})
+    x = rng.standard_normal((2, 1024))
+    got = dtcwt_sharded(x, 3, mesh)
+    want = jw.dtcwt(jnp.asarray(x), 3)
+    for g, w in zip(got.highpass, want.highpass):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.lowpass_a),
+                               np.asarray(want.lowpass_a), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.lowpass_b),
+                               np.asarray(want.lowpass_b), atol=1e-10)
+
+
+@needs8
+def test_idtcwt_sharded_roundtrip(rng):
+    from jwave_pro_tpu.parallel.sharded import dtcwt_sharded, idtcwt_sharded
+    mesh = make_mesh({"data": 2, "signal": 4})
+    x = rng.standard_normal((2, 512))
+    res = dtcwt_sharded(x, 2, mesh)
+    xr = np.asarray(idtcwt_sharded(res, mesh))
+    np.testing.assert_allclose(xr, x, atol=1e-8)
+
+
+@needs8
+def test_dtcwt_sharded_validation(rng):
+    from jwave_pro_tpu.parallel.sharded import dtcwt_sharded
+    mesh = make_mesh({"signal": 8})
+    with pytest.raises(ValueError, match="not divisible"):
+        dtcwt_sharded(rng.standard_normal(128), 5, mesh)
