@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Adaptive decompositions: matching pursuit, dual-tree complex WT, EWT.
+
+Three ways past a fixed orthogonal basis, all beyond the reference's scope
+(its adaptive story ends at the README's never-shipped "optimal basis
+selection" claim):
+
+  * matching pursuit / OMP — greedy sparse atoms from the shift-invariant
+    MODWPT dictionary (transients AND tones, no basis commitment);
+  * DTCWT — near-shift-invariant complex magnitudes at only 2× redundancy;
+  * EWT — the filter bank itself adapts to the spectrum (invertible EMD
+    alternative).
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jwave_pro_tpu as jw  # noqa: E402
+
+
+def main():
+    rng = np.random.default_rng(42)
+    fs, n = 1000.0, 2048
+    t = np.arange(n) / fs
+    tone = np.sin(2 * np.pi * 230 * t)
+    burst = np.exp(-((t - 1.0) / 0.008) ** 2) * np.sin(2 * np.pi * 60 * t)
+    x = tone + 2.5 * burst
+    e_in = float(np.sum(x ** 2))
+
+    # --- matching pursuit: transient vs tone without choosing a basis -----
+    w = jw.wavelet("Daubechies 4")
+    level = 3
+    res = jw.matching_pursuit(x, w, level, n_atoms=8)
+    band = fs / 2 / (1 << level)
+    print("Matching pursuit (MODWPT dictionary, level 3):")
+    for i in range(4):
+        nd, sh = int(res.nodes[i]), int(res.shifts[i])
+        print(f"  pick {i}: band [{nd * band:5.1f},{(nd + 1) * band:5.1f}) "
+              f"Hz at t={sh / fs:.3f}s "
+              f"({'burst' if nd == 0 else 'tone'} territory)")
+    xr = np.asarray(jw.mp_reconstruct(res, w)) + np.asarray(res.residual)
+    print(f"  reconstruct+residual max-err: {np.abs(xr - x).max():.2e}")
+
+    # a signal that IS sparse in the dictionary: OMP recovers it exactly
+    from jwave_pro_tpu.ops.mp import _atom_tables
+    rev, _ = _atom_tables(w, level, n)
+    planted = (2.0 * np.roll(rev[1], 400) - 1.4 * np.roll(rev[5], 1500)
+               + 0.9 * np.roll(rev[2], 900))
+    omp = jw.matching_pursuit(planted + 0.01 * rng.standard_normal(n),
+                              w, level, 3, orthogonalize=True)
+    print(f"  OMP on 3 planted atoms: recovered nodes "
+          f"{sorted(map(int, np.asarray(omp.nodes)))} (truth [1, 2, 5]), "
+          f"residual {float(np.sum(np.asarray(omp.residual)**2)):.4f} "
+          f"(noise floor ≈ {0.0001 * n:.2f})")
+
+    # --- DTCWT: magnitudes ignore shifts where FWT coefficients scramble --
+    res0 = jw.dtcwt(x, level=4)
+    res1 = jw.dtcwt(np.roll(x, 3), level=4)
+    for j, (m0, m1) in enumerate(zip(res0.magnitudes, res1.magnitudes), 1):
+        a0, a1 = np.asarray(m0), np.asarray(m1)
+        drift = np.abs(a1.sum() - a0.sum()) / a0.sum()
+        print(f"DTCWT level {j}: shift-3 magnitude-energy drift {drift:.2e}")
+    # denoise a transient (where threshold shrinkage shines — a steady
+    # tone spreads its energy too thin for coefficient thresholding)
+    clean = 2.5 * burst
+    noise = 0.15 * rng.standard_normal(n)
+    den = np.asarray(jw.dtcwt_denoise(clean + noise, 4))
+    e_c = np.sum(clean ** 2)
+    print(f"DTCWT denoise (transient): noisy SNR "
+          f"{10*np.log10(e_c / np.sum(noise**2)):.1f} dB → "
+          f"{10*np.log10(e_c / np.sum((den - clean)**2)):.1f} dB")
+
+    # --- EWT: the bank adapts to where the spectrum actually lives --------
+    bands = jw.ewt1d(x, n_modes=3)
+    freqs = np.fft.rfftfreq(n, 1 / fs)
+    print("EWT adaptive bands (dominant frequency per component):")
+    for i, comp in enumerate(np.asarray(bands.components)):
+        spec = np.abs(np.fft.rfft(comp))
+        print(f"  band {i}: {freqs[spec.argmax()]:6.1f} Hz, "
+              f"energy {np.sum(comp**2) / e_in:.1%}")
+    xr = np.asarray(bands.reconstruct())
+    print(f"  tight-frame roundtrip max-err: {np.abs(xr - x).max():.2e}")
+
+
+if __name__ == "__main__":
+    main()
