@@ -551,3 +551,45 @@ def test_dtcwt_sharded_validation(rng):
     mesh = make_mesh({"signal": 8})
     with pytest.raises(ValueError, match="not divisible"):
         dtcwt_sharded(rng.standard_normal(128), 5, mesh)
+
+
+@needs8
+def test_batch_sharded_adaptive_ops_zero_collectives(rng):
+    """Pure data parallelism for the adaptive tier (EWT's per-element bank,
+    MP's per-element greedy scan): each device runs its own elements end to
+    end, ZERO collectives in the compiled HLO.
+
+    MP partitions under plain NamedSharding (rolls/convs/argmax all have
+    batch-dim partitioners); EWT goes through shard_map because XLA's
+    FFT/TopK custom-calls don't SPMD-partition even on batch dims (the
+    global-jit route all-gathers) — the same reason `cwt_sharded` keeps its
+    per-device FFTs inside shard_map."""
+    from jwave_pro_tpu.parallel import NamedSharding, P, make_mesh
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    mesh = make_mesh({"data": 8})
+    x = jax.device_put(
+        jnp.asarray(rng.standard_normal((8, 256)), jnp.float32),
+        NamedSharding(mesh, P("data", None)))
+
+    fn_ewt = jax.jit(shard_map(
+        lambda v: jw.ewt1d(v, 3).components, mesh=mesh,
+        in_specs=P("data", None), out_specs=P("data", None, None)))
+    hlo = fn_ewt.lower(x).compile().as_text()
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, f"collectives in batch-sharded EWT: {found}"
+    got = np.asarray(fn_ewt(x))
+    want = np.asarray(jw.ewt1d(np.asarray(x), 3).components)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    fn_mp = jax.jit(lambda v: jw.matching_pursuit(
+        v, DB4, 2, 4, method="direct").residual)
+    hlo = fn_mp.lower(x).compile().as_text()
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, f"collectives in batch-sharded MP: {found}"
+    got = np.asarray(fn_mp(x))
+    want = np.asarray(jw.matching_pursuit(np.asarray(x), DB4, 2, 4,
+                                          method="direct").residual)
+    np.testing.assert_allclose(got, want, atol=1e-5)
