@@ -89,5 +89,6 @@ from .transforms import (  # noqa: F401
     MODWTTransform, ShiftingWaveletTransform, Transform,
     WaveletPacketTransform, build_transform,
 )
+from . import streaming  # noqa: F401  (jw.streaming.streaming_transform)
 
 __version__ = "0.1.0"
