@@ -138,6 +138,27 @@ def bench_mp(batch=8, n=65536, level=3, k=16):
     return batch * n / _time_chain(step, x)
 
 
+def bench_streaming(batch=64, buffer=16384, chunk=4096, level=5):
+    """Incremental streaming MODWT: samples/s through the causal-tail
+    update (`streaming._incremental_modwt_step`'s compute: recompute only
+    the newest `chunk` columns from a halo+chunk window, shift the rest).
+    Batched = many concurrent channels, the realistic TPU streaming shape."""
+    from jwave_pro_tpu.streaming import _causal_tail
+    w = jw.wavelet("Daubechies 4")
+    halo = (w.length - 1) * ((1 << level) - 1)
+    c0 = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (level + 1, batch, buffer)), jnp.float32)
+
+    def step(c):
+        # window drawn from the carried state (data dependence for the
+        # chain); same shapes/compute as one incremental update per channel
+        window = c[-1, :, : halo + chunk]
+        tail = _causal_tail(window, chunk, w, level)  # (L+1, B, chunk)
+        return jnp.roll(c, -chunk, axis=-1).at[..., -chunk:].set(tail)
+
+    return batch * chunk / _time_chain(step, c0)
+
+
 def bench_wpt(dtype=jnp.float32, batch=64, n=65536, level=6):
     w = jw.wavelet("Symlet 8")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
@@ -326,6 +347,7 @@ def main():
         run("modwpt_db4_L3", bench_modwpt)
         run("modwpt2_db4_L2", bench_modwpt2)
         run("mp_db4_L3_k16", bench_mp)
+        run("streaming_modwt_inc", bench_streaming)
         run("cwt_morlet_64scales", bench_cwt)
         run("cwt_mexhat_64scales",
             lambda: bench_cwt(wavelet=jw.MexicanHatWavelet()))
