@@ -69,6 +69,194 @@ def _analysis_matrix(wavelet: DiscreteWavelet, dtype_name: str):
     return np.asarray(w, dtype=dtype_name)
 
 
+def _composite_bank(wavelet: DiscreteWavelet, levels: int):
+    """Host-f64 composite filters for ``levels`` stacked analysis steps.
+
+    ``C_j = C_{j-1} ⊛ (dec_lo ↑ 2^{j-1})`` (scaling chain), detail taps
+    ``E_j = C_{j-1} ⊛ (dec_hi ↑ 2^{j-1})`` — so ``hi_j[p] = Σ_s E_j[s] ·
+    x[(2^j·p + s) mod h]`` exactly equals j recursive steps (the à-trous
+    composition; spans grow as (2^j−1)(M−1)+1).
+    """
+    def up(f, d):
+        out = np.zeros((len(f) - 1) * d + 1)
+        out[::d] = f
+        return out
+
+    lo = np.asarray(wavelet.dec_lo, dtype=np.float64)
+    hi = np.asarray(wavelet.dec_hi, dtype=np.float64)
+    c = np.ones(1)
+    details = []
+    for j in range(1, levels + 1):
+        details.append(np.convolve(c, up(hi, 1 << (j - 1))))
+        c = np.convolve(c, up(lo, 1 << (j - 1)))
+    return c, details
+
+
+def _fused_levels_limit(wavelet: DiscreteWavelet) -> int:
+    """Max L with every composite row index inside the block pair:
+    worst output (p = 256/2^j − 1) touches row 256 − 2^j + (2^j−1)(M−1),
+    which must stay < 2·BLK."""
+    m = wavelet.length
+    lmax = 0
+    for lev in range(1, 9):
+        if 256 - (1 << lev) + ((1 << lev) - 1) * (m - 1) < 2 * _BLK:
+            lmax = lev
+        else:
+            break
+    return lmax
+
+
+@_functools.lru_cache(maxsize=None)
+def _analysis_matrix_fused(wavelet: DiscreteWavelet, levels: int,
+                           dtype_name: str):
+    """(2·BLK, BLK) banded constant running ``levels`` pyramid steps in ONE
+    matmul pass.
+
+    Column layout per input block of 256: ``[lo_L (256/2^L) | hi_L | … |
+    hi_1 (128)]`` — the per-block slice of the packed pyramid
+    ``[a_L | d_L | … | d_1]``, so outputs reshape straight into the final
+    layout.  Same matrix shape as the single-level step, so L levels cost
+    FEWER FLOPs than L separate passes (512 MACs/output, but only
+    (1+2^{1−L})·h/2 outputs instead of h per extra level) and exactly one
+    HBM round trip.  Composite taps are composed on the host in f64 —
+    parity with the recursive steps is exact to matmul roundoff.
+    """
+    c, details = _composite_bank(wavelet, levels)
+    w = np.zeros((2 * _BLK, _BLK), dtype=np.float64)
+    col = 0
+    segs = [(levels, c)] + [(j, e) for j, e in
+                            zip(range(levels, 0, -1), details[::-1])]
+    for j, taps in segs:
+        cnt = _BLK >> j
+        for p in range(cnt):
+            base = (1 << j) * p
+            for s, t in enumerate(taps):
+                w[base + s, col + p] += t
+        col += cnt
+    assert col == _BLK
+    return np.asarray(w, dtype=dtype_name)
+
+
+def _analysis_fused_matmul(x: jax.Array, wavelet: DiscreteWavelet,
+                           levels: int):
+    """Apply the fused matrix; returns ``(lo_L, [d_1, …, d_L])``."""
+    h = x.shape[-1]
+    k = h // _BLK
+    lead = x.shape[:-1]
+    xb = x.reshape(lead + (k, _BLK))
+    w = _analysis_matrix_fused(wavelet, levels, jnp.dtype(x.dtype).name)
+    w_cur = jnp.asarray(w[:_BLK])
+    w_nxt = jnp.asarray(w[_BLK:])
+    out = (jnp.einsum("...ku,uv->...kv", xb, w_cur,
+                      preferred_element_type=x.dtype,
+                      precision=lax.Precision.HIGHEST)
+           + jnp.einsum("...ku,uv->...kv", jnp.roll(xb, -1, axis=-2), w_nxt,
+                        preferred_element_type=x.dtype,
+                        precision=lax.Precision.HIGHEST))
+    col = 0
+    lo = out[..., :_BLK >> levels].reshape(lead + (h >> levels,))
+    col = _BLK >> levels
+    details = []  # returned in ascending level order d_1 .. d_L
+    for j in range(levels, 0, -1):
+        cnt = _BLK >> j
+        details.append(
+            out[..., col:col + cnt].reshape(lead + (h >> j,)))
+        col += cnt
+    return lo, details[::-1]
+
+
+def _composite_rec_bank(wavelet: DiscreteWavelet, levels: int):
+    """Synthesis twin of :func:`_composite_bank` over the REC banks.
+
+    ``RC_j = RC_{j-1} ⊛ (rec_lo ↑ 2^{j-1})``, ``RE_j = RC_{j-1} ⊛
+    (rec_hi ↑ 2^{j-1})`` — so the j-level upsample chain contributes
+    ``x[k] += RE_j[k − 2^j·p] · hi_j[p]`` exactly like j recursive
+    synthesis steps; each passes through j steps, so the Haar-orthogonal
+    energy correction enters as ``correction^j`` per segment.
+    """
+    def up(f, d):
+        out = np.zeros((len(f) - 1) * d + 1)
+        out[::d] = f
+        return out
+
+    lo = np.asarray(wavelet.rec_lo, dtype=np.float64)
+    hi = np.asarray(wavelet.rec_hi, dtype=np.float64)
+    c = np.ones(1)
+    details = []
+    for j in range(1, levels + 1):
+        details.append(np.convolve(c, up(hi, 1 << (j - 1))))
+        c = np.convolve(c, up(lo, 1 << (j - 1)))
+    return c, details
+
+
+def _fused_synth_limit(wavelet: DiscreteWavelet) -> int:
+    """Max L with the composite rec span inside one previous block:
+    (2^L−1)(M−1) ≤ BLK (the (prev, cur) pair covers p_rel ≥ −cnt)."""
+    m = wavelet.length
+    lmax = 0
+    for lev in range(1, 9):
+        if ((1 << lev) - 1) * (m - 1) <= _BLK:
+            lmax = lev
+        else:
+            break
+    return lmax
+
+
+@_functools.lru_cache(maxsize=None)
+def _synthesis_matrices_fused(wavelet: DiscreteWavelet, levels: int,
+                              dtype_name: str):
+    """Per-segment (2·cnt_r, BLK) constants for ``levels`` fused synthesis
+    steps: list ordered ``[lo(levels), hi(levels), hi(levels−1), …, hi(1)]``
+    (deepest first, matching the packed ``[a | d_deep | … | d_1]`` layout).
+
+    Row u ↦ segment entry ``p_rel = u − cnt`` of the (previous, current)
+    block pair; column t the output sample; weight ``taps[t − 2^r·p_rel]``
+    times ``energy_correction^r``.
+    """
+    c, details = _composite_rec_bank(wavelet, levels)
+    ec = float(wavelet.energy_correction)
+    mats = []
+    segs = [(levels, c)] + [(r, e) for r, e in
+                            zip(range(levels, 0, -1), details[::-1])]
+    for r, taps in segs:
+        cnt = _BLK >> r
+        mat = np.zeros((2 * cnt, _BLK), dtype=np.float64)
+        scale = ec ** r
+        for u in range(2 * cnt):
+            p_rel = u - cnt
+            base = (1 << r) * p_rel
+            for s, tap in enumerate(taps):
+                t = base + s
+                if 0 <= t < _BLK:
+                    mat[u, t] += tap * scale
+        mats.append(np.asarray(mat, dtype=dtype_name))
+    return mats
+
+
+def _synthesis_fused_matmul(lo: jax.Array, segs_desc: list,
+                            wavelet: DiscreteWavelet) -> jax.Array:
+    """Fused inverse chunk: ``lo`` = deepest approximation, ``segs_desc`` =
+    detail segments deepest-first; returns the chunk-top approximation
+    (width = 2^len(segs_desc) · lo width)."""
+    levels = len(segs_desc)
+    h = lo.shape[-1] << levels
+    k = h // _BLK
+    lead = lo.shape[:-1]
+    mats = _synthesis_matrices_fused(wavelet, levels,
+                                     jnp.dtype(lo.dtype).name)
+    ein = lambda u, m: jnp.einsum("...ku,uv->...kv", u, m,
+                                  preferred_element_type=lo.dtype,
+                                  precision=lax.Precision.HIGHEST)
+    out = None
+    for seg, mat in zip([lo, *segs_desc], mats):
+        cnt = mat.shape[0] // 2
+        xb = seg.reshape(lead + (k, cnt))
+        prev = jnp.roll(xb, 1, axis=-2)
+        t = ein(prev, jnp.asarray(mat[:cnt])) + ein(xb, jnp.asarray(mat[cnt:]))
+        out = t if out is None else out + t
+    return out.reshape(lead + (h,))
+
+
 @_functools.lru_cache(maxsize=None)
 def _synthesis_matrices(wavelet: DiscreteWavelet, dtype_name: str):
     """Two (2·BLKH, BLK) constants A, B with x_blk = lo_pair@A + hi_pair@B.
@@ -306,16 +494,33 @@ def fwt(x: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
     # ``concat([head, rest])`` would copy the full N-width array every level
     # (≈ 2·L·N bytes of pure shuffling for an L-level pyramid — this was the
     # round-1 "tail levels are slow" cost, not kernel-launch overhead).
+    # Big widths take the FUSED multi-level matmul (`_analysis_matrix_fused`):
+    # composite taps fold up to `_fused_levels_limit` pyramid steps into one
+    # (512, 256) constant — one HBM round trip (and fewer FLOPs) per chunk of
+    # levels instead of one per level.
     h = n
     cur = x
     details = []
-    for _ in range(level):
-        if h < wavelet.transform_wavelength or h < 2:
-            break
-        out = analysis_step(cur, wavelet)
-        cur = out[..., :h // 2]
-        details.append(out[..., h // 2:])
-        h //= 2
+    done = 0
+    while done < level and h >= wavelet.transform_wavelength and h >= 2:
+        lf = 0
+        if h % _BLK == 0 and wavelet.length <= _BLK:
+            lf = min(_fused_levels_limit(wavelet), level - done)
+            # sub-level ℓ of the fused chunk acts on width h >> (ℓ−1);
+            # honor the same per-level stopping guard as the step loop
+            while lf > 1 and (h >> (lf - 1)) < wavelet.transform_wavelength:
+                lf -= 1
+        if lf > 1:
+            cur, segs = _analysis_fused_matmul(cur, wavelet, lf)
+            details.extend(segs)  # ascending level order d_{done+1}…
+            h >>= lf
+            done += lf
+        else:
+            out = analysis_step(cur, wavelet)
+            cur = out[..., :h // 2]
+            details.append(out[..., h // 2:])
+            h //= 2
+            done += 1
     if not details:
         return x
     # widths always sum to n: [a_L | d_L | d_{L-1} | … | d_1]
@@ -341,11 +546,28 @@ def ifwt(y: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
         return y
     # Work on the growing prefix only; detail segments are read in place and
     # the final signal assembles without per-level full-N concats (mirror of
-    # the forward's single-concat structure).
+    # the forward's single-concat structure).  Chunks of levels whose output
+    # width divides the block take the FUSED composite-rec matmul
+    # (`_synthesis_matrices_fused`) — one HBM pass per chunk.
     cur = y[..., :widths[-1] // 2]  # a_L
-    for h in reversed(widths):
-        head = jnp.concatenate([cur, y[..., h // 2:h]], axis=-1)
-        cur = synthesis_step(head, wavelet)
+    j = len(widths)  # deepest remaining synthesis step
+    while j >= 1:
+        lf = 0
+        if wavelet.length <= _BLK:
+            lf = min(_fused_synth_limit(wavelet), j)
+            while lf > 1 and widths[j - lf] % _BLK != 0:
+                lf -= 1
+        if lf > 1:
+            # detail segment of step jj sits at y[n>>jj : n>>(jj−1)]
+            segs = [y[..., widths[jj - 1] // 2:widths[jj - 1]]
+                    for jj in range(j, j - lf, -1)]
+            cur = _synthesis_fused_matmul(cur, segs, wavelet)
+            j -= lf
+        else:
+            h = widths[j - 1]
+            head = jnp.concatenate([cur, y[..., h // 2:h]], axis=-1)
+            cur = synthesis_step(head, wavelet)
+            j -= 1
     return cur
 
 
