@@ -18,12 +18,18 @@ static shapes (mask arrays per level) so it jits.
 """
 from __future__ import annotations
 
+import functools as _functools
+
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..wavelets.base import DiscreteWavelet
 from ..utils.validation import check_power_of_two
-from .fwt import analysis_step, synthesis_step, _resolve_level
+from .fwt import (_BLK, _fused_levels_limit, _fused_synth_limit,
+                  analysis_step, synthesis_step, _resolve_level)
 
 __all__ = [
     "wpt", "iwpt", "wpt2", "iwpt2", "wpt3", "iwpt3", "wpt_tree",
@@ -44,6 +50,106 @@ def _level_widths(n: int, level: int, twl: int):
     return widths
 
 
+def _paley_paths(lo, hi, levels: int):
+    """Composite per-packet filters in Paley order: children of path P are
+    ``[P ⊛ (lo ↑ 2^i), P ⊛ (hi ↑ 2^i)]`` (index bit appended as LSB — the
+    recursive ``[lo | hi]`` split of the flat layout)."""
+    def up(f, d):
+        out = np.zeros((len(f) - 1) * d + 1)
+        out[::d] = f
+        return out
+
+    paths = [np.ones(1)]
+    for i in range(levels):
+        d = 1 << i
+        paths = [np.convolve(p, up(f, d)) for p in paths for f in (lo, hi)]
+    return paths
+
+
+@_functools.lru_cache(maxsize=None)
+def _wpt_analysis_matrix_fused(wavelet: DiscreteWavelet, levels: int,
+                               dtype_name: str):
+    """(2·BLK, BLK) constant running ``levels`` FULL-TREE packet steps in one
+    matmul — the WPT twin of ``fwt._analysis_matrix_fused``: per input block
+    the columns hold ALL 2^levels Paley-ordered segments (cnt = BLK/2^L
+    each), so L levels of the whole tree cost one HBM pass and h·512 MACs
+    instead of L·h·512."""
+    paths = _paley_paths(np.asarray(wavelet.dec_lo, dtype=np.float64),
+                         np.asarray(wavelet.dec_hi, dtype=np.float64),
+                         levels)
+    w = np.zeros((2 * _BLK, _BLK), dtype=np.float64)
+    cnt = _BLK >> levels
+    for q, taps in enumerate(paths):
+        for p in range(cnt):
+            base = (1 << levels) * p
+            for s, t in enumerate(taps):
+                w[base + s, q * cnt + p] += t
+    return np.asarray(w, dtype=dtype_name)
+
+
+@_functools.lru_cache(maxsize=None)
+def _wpt_synthesis_matrix_fused(wavelet: DiscreteWavelet, levels: int,
+                                dtype_name: str):
+    """(2·BLK, BLK) adjoint over the REC banks: rows index the (previous,
+    current) block pair in segment-major order; every contribution passes
+    ``levels`` synthesis steps so the energy correction enters uniformly as
+    ``correction^levels``."""
+    paths = _paley_paths(np.asarray(wavelet.rec_lo, dtype=np.float64),
+                         np.asarray(wavelet.rec_hi, dtype=np.float64),
+                         levels)
+    w = np.zeros((2 * _BLK, _BLK), dtype=np.float64)
+    cnt = _BLK >> levels
+    scale = float(wavelet.energy_correction) ** levels
+    for u in range(2 * _BLK):
+        half, rem = divmod(u, _BLK)
+        q, p_in = divmod(rem, cnt)
+        p_rel = p_in - (cnt if half == 0 else 0)
+        taps = paths[q]
+        base = (1 << levels) * p_rel
+        for s, tap in enumerate(taps):
+            t = base + s
+            if 0 <= t < _BLK:
+                w[u, t] += tap * scale
+    return np.asarray(w, dtype=dtype_name)
+
+
+def _ein(u, m, dtype):
+    return jnp.einsum("...ku,uv->...kv", u, m,
+                      preferred_element_type=dtype,
+                      precision=lax.Precision.HIGHEST)
+
+
+def _wpt_fused_step(x: jax.Array, wavelet: DiscreteWavelet,
+                    levels: int) -> jax.Array:
+    """``levels`` tree levels on per-packet rows ``(..., h)`` in one pass."""
+    h = x.shape[-1]
+    k = h // _BLK
+    lead = x.shape[:-1]
+    xb = x.reshape(lead + (k, _BLK))
+    w = _wpt_analysis_matrix_fused(wavelet, levels, jnp.dtype(x.dtype).name)
+    out = (_ein(xb, jnp.asarray(w[:_BLK]), x.dtype)
+           + _ein(jnp.roll(xb, -1, axis=-2), jnp.asarray(w[_BLK:]), x.dtype))
+    cnt = _BLK >> levels
+    out = out.reshape(lead + (k, 1 << levels, cnt))
+    out = jnp.swapaxes(out, -3, -2)            # segment-contiguous layout
+    return out.reshape(lead + (h,))
+
+
+def _wpt_fused_istep(y: jax.Array, wavelet: DiscreteWavelet,
+                     levels: int) -> jax.Array:
+    """Inverse of :func:`_wpt_fused_step` (same per-packet rows)."""
+    h = y.shape[-1]
+    k = h // _BLK
+    cnt = _BLK >> levels
+    lead = y.shape[:-1]
+    yb = y.reshape(lead + (1 << levels, k, cnt))
+    yb = jnp.swapaxes(yb, -3, -2).reshape(lead + (k, _BLK))
+    w = _wpt_synthesis_matrix_fused(wavelet, levels, jnp.dtype(y.dtype).name)
+    out = (_ein(jnp.roll(yb, 1, axis=-2), jnp.asarray(w[:_BLK]), y.dtype)
+           + _ein(yb, jnp.asarray(w[_BLK:]), y.dtype))
+    return out.reshape(lead + (h,))
+
+
 def wpt(x: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
     """Forward WPT on the last axis to ``level`` (default: full depth)."""
     x = jnp.asarray(x)
@@ -51,10 +157,18 @@ def wpt(x: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
     check_power_of_two(n)
     level = _resolve_level(n, level, wavelet)
     lead = x.shape[:-1]
-    for h in _level_widths(n, level, wavelet.transform_wavelength):
+    widths = _level_widths(n, level, wavelet.transform_wavelength)
+    i = 0
+    while i < len(widths):
+        h = widths[i]
+        lf = 1
+        if h % _BLK == 0 and wavelet.length <= _BLK:
+            lf = min(_fused_levels_limit(wavelet), len(widths) - i)
         xp = x.reshape(lead + (n // h, h))
-        xp = analysis_step(xp, wavelet)
+        xp = (_wpt_fused_step(xp, wavelet, lf) if lf > 1
+              else analysis_step(xp, wavelet))
         x = xp.reshape(lead + (n,))
+        i += lf
     return x
 
 
@@ -65,10 +179,20 @@ def iwpt(y: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
     check_power_of_two(n)
     level = _resolve_level(n, level, wavelet)
     lead = y.shape[:-1]
-    for h in reversed(_level_widths(n, level, wavelet.transform_wavelength)):
+    widths = _level_widths(n, level, wavelet.transform_wavelength)
+    i = len(widths)
+    while i > 0:
+        lf = 1
+        if wavelet.length <= _BLK:
+            lf = min(_fused_synth_limit(wavelet), i)
+            while lf > 1 and widths[i - lf] % _BLK != 0:
+                lf -= 1
+        h = widths[i - lf]  # chunk-top width
         yp = y.reshape(lead + (n // h, h))
-        yp = synthesis_step(yp, wavelet)
+        yp = (_wpt_fused_istep(yp, wavelet, lf) if lf > 1
+              else synthesis_step(yp, wavelet))
         y = yp.reshape(lead + (n,))
+        i -= lf
     return y
 
 
