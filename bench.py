@@ -138,6 +138,24 @@ def bench_mp(batch=8, n=65536, level=3, k=16):
     return batch * n / _time_chain(step, x)
 
 
+def bench_dtcwt(batch=32, n=1 << 20, level=5):
+    """Dual-tree complex WT forward, DCE-proof (every subband of both trees
+    feeds back through the chain)."""
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    jnp.float32)
+
+    def step(v):
+        r = jw.dtcwt(v, level)
+        fb = sum(jnp.sum(jnp.real(w), -1, keepdims=True)
+                 + jnp.sum(jnp.imag(w), -1, keepdims=True)
+                 for w in r.highpass)
+        fb = fb + jnp.sum(r.lowpass_a, -1, keepdims=True) \
+            + jnp.sum(r.lowpass_b, -1, keepdims=True)
+        return v + 1e-30 * fb
+
+    return batch * n / _time_chain(step, x)
+
+
 def bench_streaming(batch=64, buffer=16384, chunk=4096, level=5):
     """Incremental streaming MODWT: samples/s through the causal-tail
     update (`streaming._incremental_modwt_step`'s compute: recompute only
@@ -348,6 +366,7 @@ def main():
         run("modwpt2_db4_L2", bench_modwpt2)
         run("mp_db4_L3_k16", bench_mp)
         run("streaming_modwt_inc", bench_streaming)
+        run("dtcwt_L5", bench_dtcwt)
         run("cwt_morlet_64scales", bench_cwt)
         run("cwt_mexhat_64scales",
             lambda: bench_cwt(wavelet=jw.MexicanHatWavelet()))

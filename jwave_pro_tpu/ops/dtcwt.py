@@ -187,16 +187,38 @@ def dtcwt(x: jax.Array, level: int, level1: DiscreteWavelet | None = None,
     w1, wa, wb = _tree_params(level1, k, l)
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
 
-    ya = analysis_step(x, w1)
-    yb = analysis_step(jnp.roll(x, -1, axis=-1), w1)
-    la, lb = ya[..., :n // 2], yb[..., :n // 2]
-    highs = [(ya[..., n // 2:] + 1j * yb[..., n // 2:]) * inv_sqrt2]
-    for _ in range(2, level + 1):
-        h = la.shape[-1]
-        ya = analysis_step(la, wa)
-        yb = analysis_step(lb, wb)
-        la, lb = ya[..., :h // 2], yb[..., :h // 2]
-        highs.append((ya[..., h // 2:] + 1j * yb[..., h // 2:]) * inv_sqrt2)
+    # Both trees ride the FWT tier's FUSED multi-level matmuls where block
+    # structure allows (`fwt._analysis_matrix_fused` with a per-level filter
+    # SEQUENCE — level 1 is the orthonormal level1 wavelet, deeper levels the
+    # q-shift pair), falling back to single steps for small widths.
+    from .fwt import _BLK, _analysis_fused_matmul, _seq_fits_analysis
+
+    seq_a = [w1] + [wa] * (level - 1)
+    seq_b = [w1] + [wb] * (level - 1)
+    la, lb = x, jnp.roll(x, -1, axis=-1)
+    highs = []
+    idx = 0
+    h = n
+    while idx < level:
+        lf = 1
+        if h % _BLK == 0 and max(w.length for w in seq_a[idx:]) <= _BLK:
+            for cand in range(min(level - idx, 8), 1, -1):
+                if _seq_fits_analysis(tuple(seq_a[idx:idx + cand])):
+                    lf = cand
+                    break
+        if lf > 1:
+            la, da = _analysis_fused_matmul(la, tuple(seq_a[idx:idx + lf]))
+            lb, db = _analysis_fused_matmul(lb, tuple(seq_b[idx:idx + lf]))
+            highs.extend((a + 1j * b) * inv_sqrt2 for a, b in zip(da, db))
+            h >>= lf
+        else:
+            ya = analysis_step(la, seq_a[idx])
+            yb = analysis_step(lb, seq_b[idx])
+            la, lb = ya[..., :h // 2], yb[..., :h // 2]
+            highs.append((ya[..., h // 2:] + 1j * yb[..., h // 2:])
+                         * inv_sqrt2)
+            h //= 2
+        idx += lf
     return DTCWTResult(highpass=tuple(highs), lowpass_a=la, lowpass_b=lb)
 
 
@@ -374,19 +396,41 @@ def idtcwt(res: DTCWTResult, level1: DiscreteWavelet | None = None,
     modification that treats the trees symmetrically (e.g. magnitude
     shrinkage of w).
     """
+    from .fwt import _BLK, _seq_fits_synthesis, _synthesis_fused_matmul
+
     w1, wa, wb = _tree_params(level1, k, l)
     sqrt2 = math.sqrt(2.0)
+    level = len(res.highpass)
+    seq_a = [w1] + [wa] * (level - 1)
+    seq_b = [w1] + [wb] * (level - 1)
     la, lb = res.lowpass_a, res.lowpass_b
-    for w in res.highpass[:0:-1]:
-        ha, hb = sqrt2 * jnp.real(w), sqrt2 * jnp.imag(w)
-        la = synthesis_step(jnp.concatenate([la, ha], axis=-1), wa)
-        lb = synthesis_step(jnp.concatenate([lb, hb], axis=-1), wb)
-    w0 = res.highpass[0]
-    ha, hb = sqrt2 * jnp.real(w0), sqrt2 * jnp.imag(w0)
-    xa = synthesis_step(jnp.concatenate([la, ha], axis=-1), w1)
-    xb = jnp.roll(synthesis_step(jnp.concatenate([lb, hb], axis=-1), w1),
-                  1, axis=-1)
-    return 0.5 * (xa + xb)
+    j = level  # deepest remaining synthesis step
+    while j >= 1:
+        lf = 1
+        if max(w.length for w in seq_a[:j]) <= _BLK:
+            for cand in range(min(j, 8), 1, -1):
+                out_w = res.highpass[j - cand].shape[-1] * 2
+                if (out_w % _BLK == 0
+                        and _seq_fits_synthesis(tuple(seq_a[j - cand:j]))):
+                    lf = cand
+                    break
+        if lf > 1:
+            segs = res.highpass[j - lf:j][::-1]  # deepest first
+            la = _synthesis_fused_matmul(
+                la, [sqrt2 * jnp.real(w) for w in segs],
+                tuple(seq_a[j - lf:j]))
+            lb = _synthesis_fused_matmul(
+                lb, [sqrt2 * jnp.imag(w) for w in segs],
+                tuple(seq_b[j - lf:j]))
+        else:
+            w = res.highpass[j - 1]
+            ha, hb = sqrt2 * jnp.real(w), sqrt2 * jnp.imag(w)
+            la = synthesis_step(jnp.concatenate([la, ha], axis=-1),
+                                seq_a[j - 1])
+            lb = synthesis_step(jnp.concatenate([lb, hb], axis=-1),
+                                seq_b[j - 1])
+        j -= lf
+    return 0.5 * (la + jnp.roll(lb, 1, axis=-1))
 
 
 def _shrink_magnitude(w: jax.Array, t, mode: str) -> jax.Array:

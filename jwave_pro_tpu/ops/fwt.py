@@ -69,24 +69,26 @@ def _analysis_matrix(wavelet: DiscreteWavelet, dtype_name: str):
     return np.asarray(w, dtype=dtype_name)
 
 
-def _composite_bank(wavelet: DiscreteWavelet, levels: int):
-    """Host-f64 composite filters for ``levels`` stacked analysis steps.
+def _composite_bank(wavelets: tuple):
+    """Host-f64 composite filters for stacked analysis steps, one wavelet
+    per level (a uniform pyramid passes ``(w,)*L``; the dual-tree passes
+    ``(level1, qshift, qshift, …)``).
 
-    ``C_j = C_{j-1} ⊛ (dec_lo ↑ 2^{j-1})`` (scaling chain), detail taps
-    ``E_j = C_{j-1} ⊛ (dec_hi ↑ 2^{j-1})`` — so ``hi_j[p] = Σ_s E_j[s] ·
+    ``C_j = C_{j-1} ⊛ (dec_lo_j ↑ 2^{j-1})`` (scaling chain), detail taps
+    ``E_j = C_{j-1} ⊛ (dec_hi_j ↑ 2^{j-1})`` — so ``hi_j[p] = Σ_s E_j[s] ·
     x[(2^j·p + s) mod h]`` exactly equals j recursive steps (the à-trous
-    composition; spans grow as (2^j−1)(M−1)+1).
+    composition; spans grow as Σ_j 2^{j−1}(M_j−1)).
     """
     def up(f, d):
         out = np.zeros((len(f) - 1) * d + 1)
         out[::d] = f
         return out
 
-    lo = np.asarray(wavelet.dec_lo, dtype=np.float64)
-    hi = np.asarray(wavelet.dec_hi, dtype=np.float64)
     c = np.ones(1)
     details = []
-    for j in range(1, levels + 1):
+    for j, w in enumerate(wavelets, start=1):
+        lo = np.asarray(w.dec_lo, dtype=np.float64)
+        hi = np.asarray(w.dec_hi, dtype=np.float64)
         details.append(np.convolve(c, up(hi, 1 << (j - 1))))
         c = np.convolve(c, up(lo, 1 << (j - 1)))
     return c, details
@@ -106,11 +108,21 @@ def _fused_levels_limit(wavelet: DiscreteWavelet) -> int:
     return lmax
 
 
+def _seq_fits_analysis(wavelets: tuple) -> bool:
+    """Block-pair fit test for a mixed filter sequence: span =
+    Σ_j 2^{j−1}(M_j−1); worst row 256 − 2^L + span must stay < 2·BLK."""
+    lev = len(wavelets)
+    if lev > 8:
+        return False
+    span = sum((1 << (j - 1)) * (w.length - 1)
+               for j, w in enumerate(wavelets, start=1))
+    return 256 - (1 << lev) + span < 2 * _BLK
+
+
 @_functools.lru_cache(maxsize=None)
-def _analysis_matrix_fused(wavelet: DiscreteWavelet, levels: int,
-                           dtype_name: str):
-    """(2·BLK, BLK) banded constant running ``levels`` pyramid steps in ONE
-    matmul pass.
+def _analysis_matrix_fused(wavelets: tuple, dtype_name: str):
+    """(2·BLK, BLK) banded constant running ``len(wavelets)`` pyramid steps
+    in ONE matmul pass.
 
     Column layout per input block of 256: ``[lo_L (256/2^L) | hi_L | … |
     hi_1 (128)]`` — the per-block slice of the packed pyramid
@@ -121,7 +133,8 @@ def _analysis_matrix_fused(wavelet: DiscreteWavelet, levels: int,
     HBM round trip.  Composite taps are composed on the host in f64 —
     parity with the recursive steps is exact to matmul roundoff.
     """
-    c, details = _composite_bank(wavelet, levels)
+    levels = len(wavelets)
+    c, details = _composite_bank(wavelets)
     w = np.zeros((2 * _BLK, _BLK), dtype=np.float64)
     col = 0
     segs = [(levels, c)] + [(j, e) for j, e in
@@ -137,14 +150,14 @@ def _analysis_matrix_fused(wavelet: DiscreteWavelet, levels: int,
     return np.asarray(w, dtype=dtype_name)
 
 
-def _analysis_fused_matmul(x: jax.Array, wavelet: DiscreteWavelet,
-                           levels: int):
+def _analysis_fused_matmul(x: jax.Array, wavelets: tuple):
     """Apply the fused matrix; returns ``(lo_L, [d_1, …, d_L])``."""
+    levels = len(wavelets)
     h = x.shape[-1]
     k = h // _BLK
     lead = x.shape[:-1]
     xb = x.reshape(lead + (k, _BLK))
-    w = _analysis_matrix_fused(wavelet, levels, jnp.dtype(x.dtype).name)
+    w = _analysis_matrix_fused(wavelets, jnp.dtype(x.dtype).name)
     w_cur = jnp.asarray(w[:_BLK])
     w_nxt = jnp.asarray(w[_BLK:])
     out = (jnp.einsum("...ku,uv->...kv", xb, w_cur,
@@ -165,28 +178,33 @@ def _analysis_fused_matmul(x: jax.Array, wavelet: DiscreteWavelet,
     return lo, details[::-1]
 
 
-def _composite_rec_bank(wavelet: DiscreteWavelet, levels: int):
-    """Synthesis twin of :func:`_composite_bank` over the REC banks.
+def _composite_rec_bank(wavelets: tuple):
+    """Synthesis twin of :func:`_composite_bank` over the REC banks
+    (one wavelet per level, like the analysis version).
 
-    ``RC_j = RC_{j-1} ⊛ (rec_lo ↑ 2^{j-1})``, ``RE_j = RC_{j-1} ⊛
-    (rec_hi ↑ 2^{j-1})`` — so the j-level upsample chain contributes
+    ``RC_j = RC_{j-1} ⊛ (rec_lo_j ↑ 2^{j-1})``, ``RE_j = RC_{j-1} ⊛
+    (rec_hi_j ↑ 2^{j-1})`` — so the j-level upsample chain contributes
     ``x[k] += RE_j[k − 2^j·p] · hi_j[p]`` exactly like j recursive
-    synthesis steps; each passes through j steps, so the Haar-orthogonal
-    energy correction enters as ``correction^j`` per segment.
+    synthesis steps; each passes through steps 1..j, so the Haar-orthogonal
+    energy correction enters as ``Π_{i≤j} correction_i`` per segment.
     """
     def up(f, d):
         out = np.zeros((len(f) - 1) * d + 1)
         out[::d] = f
         return out
 
-    lo = np.asarray(wavelet.rec_lo, dtype=np.float64)
-    hi = np.asarray(wavelet.rec_hi, dtype=np.float64)
     c = np.ones(1)
     details = []
-    for j in range(1, levels + 1):
+    corrections = []
+    ec = 1.0
+    for j, w in enumerate(wavelets, start=1):
+        lo = np.asarray(w.rec_lo, dtype=np.float64)
+        hi = np.asarray(w.rec_hi, dtype=np.float64)
         details.append(np.convolve(c, up(hi, 1 << (j - 1))))
         c = np.convolve(c, up(lo, 1 << (j - 1)))
-    return c, details
+        ec *= float(w.energy_correction)
+        corrections.append(ec)
+    return c, details, corrections
 
 
 def _fused_synth_limit(wavelet: DiscreteWavelet) -> int:
@@ -202,26 +220,34 @@ def _fused_synth_limit(wavelet: DiscreteWavelet) -> int:
     return lmax
 
 
+def _seq_fits_synthesis(wavelets: tuple) -> bool:
+    """(prev, cur) pair fit for a mixed rec sequence: span ≤ BLK."""
+    if len(wavelets) > 8:
+        return False
+    span = sum((1 << (j - 1)) * (w.length - 1)
+               for j, w in enumerate(wavelets, start=1))
+    return span <= _BLK
+
+
 @_functools.lru_cache(maxsize=None)
-def _synthesis_matrices_fused(wavelet: DiscreteWavelet, levels: int,
-                              dtype_name: str):
-    """Per-segment (2·cnt_r, BLK) constants for ``levels`` fused synthesis
-    steps: list ordered ``[lo(levels), hi(levels), hi(levels−1), …, hi(1)]``
+def _synthesis_matrices_fused(wavelets: tuple, dtype_name: str):
+    """Per-segment (2·cnt_r, BLK) constants for ``len(wavelets)`` fused
+    synthesis steps: list ordered ``[lo(L), hi(L), hi(L−1), …, hi(1)]``
     (deepest first, matching the packed ``[a | d_deep | … | d_1]`` layout).
 
     Row u ↦ segment entry ``p_rel = u − cnt`` of the (previous, current)
     block pair; column t the output sample; weight ``taps[t − 2^r·p_rel]``
-    times ``energy_correction^r``.
+    times the accumulated energy correction of steps 1..r.
     """
-    c, details = _composite_rec_bank(wavelet, levels)
-    ec = float(wavelet.energy_correction)
+    levels = len(wavelets)
+    c, details, corrections = _composite_rec_bank(wavelets)
     mats = []
     segs = [(levels, c)] + [(r, e) for r, e in
                             zip(range(levels, 0, -1), details[::-1])]
     for r, taps in segs:
         cnt = _BLK >> r
         mat = np.zeros((2 * cnt, _BLK), dtype=np.float64)
-        scale = ec ** r
+        scale = corrections[r - 1]
         for u in range(2 * cnt):
             p_rel = u - cnt
             base = (1 << r) * p_rel
@@ -234,7 +260,7 @@ def _synthesis_matrices_fused(wavelet: DiscreteWavelet, levels: int,
 
 
 def _synthesis_fused_matmul(lo: jax.Array, segs_desc: list,
-                            wavelet: DiscreteWavelet) -> jax.Array:
+                            wavelets: tuple) -> jax.Array:
     """Fused inverse chunk: ``lo`` = deepest approximation, ``segs_desc`` =
     detail segments deepest-first; returns the chunk-top approximation
     (width = 2^len(segs_desc) · lo width)."""
@@ -242,8 +268,7 @@ def _synthesis_fused_matmul(lo: jax.Array, segs_desc: list,
     h = lo.shape[-1] << levels
     k = h // _BLK
     lead = lo.shape[:-1]
-    mats = _synthesis_matrices_fused(wavelet, levels,
-                                     jnp.dtype(lo.dtype).name)
+    mats = _synthesis_matrices_fused(wavelets, jnp.dtype(lo.dtype).name)
     ein = lambda u, m: jnp.einsum("...ku,uv->...kv", u, m,
                                   preferred_element_type=lo.dtype,
                                   precision=lax.Precision.HIGHEST)
@@ -511,7 +536,7 @@ def fwt(x: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
             while lf > 1 and (h >> (lf - 1)) < wavelet.transform_wavelength:
                 lf -= 1
         if lf > 1:
-            cur, segs = _analysis_fused_matmul(cur, wavelet, lf)
+            cur, segs = _analysis_fused_matmul(cur, (wavelet,) * lf)
             details.extend(segs)  # ascending level order d_{done+1}…
             h >>= lf
             done += lf
@@ -561,7 +586,7 @@ def ifwt(y: jax.Array, wavelet: DiscreteWavelet, level=None) -> jax.Array:
             # detail segment of step jj sits at y[n>>jj : n>>(jj−1)]
             segs = [y[..., widths[jj - 1] // 2:widths[jj - 1]]
                     for jj in range(j, j - lf, -1)]
-            cur = _synthesis_fused_matmul(cur, segs, wavelet)
+            cur = _synthesis_fused_matmul(cur, segs, (wavelet,) * lf)
             j -= lf
         else:
             h = widths[j - 1]
