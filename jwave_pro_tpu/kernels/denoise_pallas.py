@@ -49,9 +49,13 @@ def denoise_fused_supported(batch: int, n: int, level: int, m: int):
     """Same plan space as the transform kernels, but the window needs
     2·halo of context inside one tile: require halo < tile//2."""
     plan = pallas_supported(batch, n, level, m)
-    if plan is None:
+    if plan is None or plan.n_pad != n:
+        # padded plans write duplicated lanes; the denoised reconstruction
+        # slices cleanly, but the in-kernel threshold application is fine —
+        # the blocker is the (S, tile) output block layout assuming the
+        # full grid is valid.  Arbitrary N stays on the two-kernel path.
         return None
-    sublanes, tile, fold = plan
+    sublanes, tile, fold, _ = plan
     if _aligned_halo(m, level) * 2 >= tile:
         return None
     return plan
@@ -194,7 +198,7 @@ def modwt_denoise_fused(x: jax.Array, threshold: jax.Array,
     plan = denoise_fused_supported(b, n, level, m)
     if plan is None:
         raise ValueError(f"unsupported shape {x.shape} for fused denoise")
-    sublanes, tile, fold = plan
+    sublanes, tile, fold, _ = plan
     halo = _aligned_halo(m, level)
     dt = x.dtype
     g = tuple(np.asarray(g64, dtype=np.float32))

@@ -38,7 +38,12 @@ __all__ = ["modwt_var_fused", "var_fused_supported"]
 
 
 def var_fused_supported(batch: int, n: int, level: int, m: int):
-    return pallas_supported(batch, n, level, m)
+    plan = pallas_supported(batch, n, level, m)
+    if plan is None or plan.n_pad != n:
+        # padded plans duplicate lanes; the in-kernel Σx² accumulator has no
+        # mask for them, so arbitrary N stays on the two-step path.
+        return None
+    return plan
 
 
 def _lane_partial(val, tile):
@@ -138,9 +143,9 @@ def modwt_var_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     g64, h64 = modwt_base_filters(wavelet)
     m = int(g64.shape[0])
     plan = pallas_supported(b, n, level, m, tile)
-    if plan is None:
+    if plan is None or plan.n_pad != n:
         raise ValueError(f"unsupported shape {x.shape} for fused variance")
-    sublanes, tile, fold = plan
+    sublanes, tile, fold, _ = plan
     halo = _aligned_halo(m, level)
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))

@@ -54,6 +54,31 @@ def main():
         imodwt_fused(modwt_fused(v, w, 5), w) - v)))(x))
     ok &= check("pallas roundtrip", err, 1e-4)
 
+    # Arbitrary-N padded dispatch (VERDICT r3 #1): the reference's headline
+    # use case (MODWTTransform.java:256-306 has no power-of-2 guard).
+    xa = jnp.asarray(rng.standard_normal((16, 100003)), dtype=jnp.float32)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        modwt_fused(v, w, 5) - jw.modwt(v, w, 5, method="direct"))))(xa))
+    ok &= check("pallas fwd N=100003 ≡ xla direct", err, 1e-5)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        imodwt_fused(modwt_fused(v, w, 5), w) - v)))(xa))
+    ok &= check("pallas roundtrip N=100003", err, 1e-4)
+    x1d = jnp.asarray(rng.standard_normal(1_000_000), dtype=jnp.float32)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        imodwt_fused(modwt_fused(v, w, 5), w) - v)))(x1d))
+    ok &= check("pallas 1D roundtrip N=1e6", err, 1e-4)
+
+    # bf16 I/O tier (VERDICT r3 #3): DMA at half traffic, f32 compute in
+    # VMEM — the error bound vs the f32 pipeline must hold on-chip.
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        modwt_fused(v.astype(jnp.bfloat16), w, 5).astype(jnp.float32)
+        - modwt_fused(v, w, 5))))(x))
+    ok &= check("pallas bf16 fwd ≡ f32 fwd", err, 5e-2)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        imodwt_fused(modwt_fused(v.astype(jnp.bfloat16), w, 5),
+                     w).astype(jnp.float32) - v)))(x))
+    ok &= check("pallas bf16 roundtrip", err, 1e-1)
+
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
         jw.modwt_denoise(v, w, 4, threshold=0.8, method="fused")
         - jw.modwt_denoise(v, w, 4, threshold=0.8, method="direct"))))(x))
