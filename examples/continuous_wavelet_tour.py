@@ -9,6 +9,12 @@ singularity analysis across orders / Mexican-Hat equivalence) and
 All transforms run batched through the one jitted CWT entry point; scale
 grids and property tables are host-side f64 exactly like the filter banks.
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import _bootstrap  # noqa: E402,F401 — CPU unless JWAVE_EXAMPLES_TPU=1
+
 import numpy as np
 
 import jax.numpy as jnp

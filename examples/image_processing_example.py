@@ -3,6 +3,12 @@ compression, and scattering features — the 2D tier in one script.
 
 Run on CPU with: JAX_PLATFORMS=cpu python examples/image_processing_example.py
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import _bootstrap  # noqa: E402,F401 — CPU unless JWAVE_EXAMPLES_TPU=1
+
 import numpy as np
 
 import jwave_pro_tpu as jw

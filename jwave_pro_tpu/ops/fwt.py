@@ -96,12 +96,12 @@ def _composite_bank(wavelets: tuple):
 
 def _fused_levels_limit(wavelet: DiscreteWavelet) -> int:
     """Max L with every composite row index inside the block pair:
-    worst output (p = 256/2^j − 1) touches row 256 − 2^j + (2^j−1)(M−1),
+    worst output (p = BLK/2^j − 1) touches row BLK − 2^j + (2^j−1)(M−1),
     which must stay < 2·BLK."""
     m = wavelet.length
     lmax = 0
     for lev in range(1, 9):
-        if 256 - (1 << lev) + ((1 << lev) - 1) * (m - 1) < 2 * _BLK:
+        if _BLK - (1 << lev) + ((1 << lev) - 1) * (m - 1) < 2 * _BLK:
             lmax = lev
         else:
             break
@@ -110,13 +110,13 @@ def _fused_levels_limit(wavelet: DiscreteWavelet) -> int:
 
 def _seq_fits_analysis(wavelets: tuple) -> bool:
     """Block-pair fit test for a mixed filter sequence: span =
-    Σ_j 2^{j−1}(M_j−1); worst row 256 − 2^L + span must stay < 2·BLK."""
+    Σ_j 2^{j−1}(M_j−1); worst row BLK − 2^L + span must stay < 2·BLK."""
     lev = len(wavelets)
     if lev > 8:
         return False
     span = sum((1 << (j - 1)) * (w.length - 1)
                for j, w in enumerate(wavelets, start=1))
-    return 256 - (1 << lev) + span < 2 * _BLK
+    return _BLK - (1 << lev) + span < 2 * _BLK
 
 
 @_functools.lru_cache(maxsize=None)

@@ -63,9 +63,26 @@ class MPResult(typing.NamedTuple):
 
     @property
     def energies(self):
-        """Per-atom captured energy |α_k|² (unit atoms ⇒ energy additivity
-        holds greedily: ‖r_k‖² = ‖r_{k-1}‖² − α_k²)."""
+        """Per-atom captured energy |α_k|² — **plain MP only** (unit atoms ⇒
+        the greedy identity ‖r_k‖² = ‖r_{k-1}‖² − α_k² holds, so a post-hoc
+        energy cutoff over these is exact).  For ``orthogonalize=True`` the
+        amps are the final joint least-squares coefficients over a
+        NON-orthogonal atom set: amps² are not per-step captured energies
+        and do not sum to ‖x‖² − ‖r‖²; rank atoms by re-running with
+        increasing K and differencing ‖residual‖² instead (ADVICE r3)."""
         return self.amps ** 2
+
+
+# level / wavelet_name are STATIC dictionary parameters, not array leaves:
+# registered as pytree aux_data so jit/vmap over functions returning an
+# MPResult work (a str leaf fails at trace time; explicit registrations
+# take precedence over the default namedtuple flattening).  ADVICE r3.
+jax.tree_util.register_pytree_node(
+    MPResult,
+    lambda r: ((r.nodes, r.shifts, r.amps, r.residual),
+               (r.level, r.wavelet_name)),
+    lambda aux, ch: MPResult(*ch, *aux),
+)
 
 
 @functools.lru_cache(maxsize=64)
@@ -210,12 +227,28 @@ def matching_pursuit(x: jax.Array, wavelet: DiscreteWavelet, level: int,
                              batch + (k_tot, k_tot))
     b0 = jnp.zeros(batch + (k_tot,), x.dtype)
 
+    # Degenerate-pick guard (ADVICE r3 medium): when n_atoms exceeds the
+    # signal's effective sparsity the residual hits ~0 and the argmax
+    # re-picks an already-selected atom — the identity-padded Gram then goes
+    # exactly singular and a plain solve floods every output with NaN.
+    # OMP's residual is exactly ⊥ span(selected), so a re-picked atom's
+    # correlation is ~0: gate on |amp| and PARK the slot (zero atom,
+    # identity Gram row ⇒ coef stays 0) instead of regularizing — a ridge
+    # would bias the well-posed steps and break the exact-orthogonality
+    # property the tests pin at 1e-12.
+    amp_tol = 50 * jnp.finfo(x.dtype).eps * jnp.linalg.norm(x, axis=-1)
+
     def obody(carry, k):
         r, buf, gram, b = carry
-        node, t, _ = select(r)
+        node, t, amp = select(r)
+        live = (jnp.abs(amp) > amp_tol)[..., None]            # (..., 1)
         atom = _gather_atoms(rev_unit, node, t, n, spectral)  # (..., N)
+        atom = jnp.where(live, atom, jnp.zeros_like(atom))
         buf = _update_index(buf, atom, k, axis=-2)
         row = jnp.einsum("...ln,...n->...l", buf, atom)  # ⟨atom_j, atom_k⟩
+        # parked slot: keep the identity row's 1 on the diagonal
+        ek = (jnp.arange(k_tot) == k).astype(x.dtype)
+        row = row + jnp.where(live, 0.0, 1.0) * ek
         gram = _update_index(gram, row, k, axis=-2)
         gram = _update_index(gram, row, k, axis=-1)
         b = _update_index(b, jnp.einsum("...n,...n->...", atom, x), k,

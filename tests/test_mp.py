@@ -171,3 +171,37 @@ def test_spectral_roll_matches_exact_gather(rng):
 def test_validation():
     with pytest.raises(ValueError, match="n_atoms"):
         jw.matching_pursuit(jnp.zeros(N), W, LEVEL, 0)
+
+
+def test_omp_rank_deficient_stays_finite():
+    """ADVICE r3 (medium): n_atoms beyond the signal's effective sparsity —
+    once the residual is ~0 the scan re-picks an atom and the Gram goes
+    singular; the ridge-regularized solve must keep every output finite and
+    the reconstruction exact."""
+    rev, _ = _atom_tables(W, LEVEL, N)
+    x = jnp.asarray(3.0 * np.roll(rev[2], 11), jnp.float64)  # one pure atom
+    r = jw.matching_pursuit(x, W, LEVEL, 6, method="direct",
+                            orthogonalize=True)
+    assert bool(jnp.all(jnp.isfinite(r.amps)))
+    assert bool(jnp.all(jnp.isfinite(r.residual)))
+    xr = jw.mp_reconstruct(r, W) + r.residual
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=1e-8)
+    assert float(jnp.max(jnp.abs(r.residual))) < 1e-6
+
+
+def test_mpresult_is_jittable_pytree(rng):
+    """ADVICE r3 (low): level/wavelet_name are pytree aux_data, so a jitted
+    function can RETURN the full MPResult (a str leaf used to fail at
+    trace time)."""
+    x = jnp.asarray(rng.standard_normal((2, N)))
+    f = jax.jit(lambda v: jw.matching_pursuit(v, W, LEVEL, 3,
+                                              method="direct"))
+    r = f(x)
+    assert r.level == LEVEL and r.wavelet_name == W.name
+    r2 = jw.matching_pursuit(x, W, LEVEL, 3, method="direct")
+    np.testing.assert_allclose(np.asarray(r.residual),
+                               np.asarray(r2.residual), atol=1e-12)
+    # vmap over the batch axis reaches the same picks
+    rv = jax.vmap(lambda v: jw.matching_pursuit(v, W, LEVEL, 3,
+                                                method="direct"))(x)
+    assert bool(jnp.all(rv.nodes == r2.nodes))
