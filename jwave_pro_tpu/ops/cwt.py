@@ -169,7 +169,7 @@ def _half_spectrum_multipliers(wavelet: ContinuousWavelet, scales: tuple,
     # (CLAUDE.md); ensure_compile_time_eval additionally makes this work
     # inside an outer trace.
     with jax.ensure_compile_time_eval(), \
-            jax.default_device(jax.devices("cpu")[0]):
+            jax.default_device(jax.local_devices(backend="cpu")[0]):
         m_pos = np.asarray(jnp.conj(wavelet.psi_hat_scaled(
             jnp.asarray(omega), jnp.asarray(scales_np))))       # M(ω_k)
         psi_neg = np.asarray(wavelet.psi_hat_scaled(
@@ -200,7 +200,7 @@ def _full_spectrum_multipliers(wavelet: ContinuousWavelet, scales: tuple,
     scales_np = np.asarray(scales, dtype=np.float64)[:, None]
     omega = _omega_axis(padded_n, sampling_rate)[None, :]
     with jax.ensure_compile_time_eval(), \
-            jax.default_device(jax.devices("cpu")[0]):
+            jax.default_device(jax.local_devices(backend="cpu")[0]):
         m = np.asarray(jnp.conj(wavelet.psi_hat_scaled(
             jnp.asarray(omega), jnp.asarray(scales_np))))
     mirror = np.conj(np.roll(m[:, ::-1], 1, axis=-1))  # conj(M[-k])
@@ -498,7 +498,7 @@ def _recon_filter(wavelet: ContinuousWavelet, scales: tuple, n: int,
     omega = _omega_axis(p, sampling_rate)
     weights = _icwt_weights(scales_np)
     with jax.ensure_compile_time_eval(), \
-            jax.default_device(jax.devices("cpu")[0]):
+            jax.default_device(jax.local_devices(backend="cpu")[0]):
         h = np.zeros(p, dtype=np.complex128)
         for a, w_a in zip(scales_np, weights):
             h += w_a * np.conj(np.asarray(

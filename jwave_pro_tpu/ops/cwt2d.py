@@ -86,7 +86,7 @@ def _multipliers2d(wavelet: ContinuousWavelet2D, scales: tuple,
     ang = (0.0,) if angles is None else angles
     planes = []
     with jax.ensure_compile_time_eval(), \
-            jax.default_device(jax.devices("cpu")[0]):
+            jax.default_device(jax.local_devices(backend="cpu")[0]):
         for a in scales:
             for th in ang:
                 # no explicit dtype: f64 under x64, silently f32 otherwise

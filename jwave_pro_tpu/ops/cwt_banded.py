@@ -113,7 +113,7 @@ def band_plan(wavelet: ContinuousWavelet, scales_t: tuple, padded_n: int,
     t_dim = p // _B1
     omega = (2.0 * math.pi * np.arange(f) * sampling_rate / p)[None, :]
     with jax.ensure_compile_time_eval(), \
-            jax.default_device(jax.devices("cpu")[0]):
+            jax.default_device(jax.local_devices(backend="cpu")[0]):
         m_pos = np.asarray(jnp.conj(wavelet.psi_hat_scaled(
             jnp.asarray(omega), jnp.asarray(scales[:, None]))))
         psi_neg = np.asarray(wavelet.psi_hat_scaled(

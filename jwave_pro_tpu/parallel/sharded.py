@@ -38,6 +38,7 @@ __all__ = [
     "modwt_sharded", "imodwt_sharded", "cwt_sharded", "cwt_signal_sharded",
     "cwt2_sharded", "wpt_sharded", "iwpt_sharded", "fwt2_sharded",
     "fwt_sharded", "ifwt_sharded", "gather_fwt_layout",
+    "modwpt_sharded", "imodwpt_sharded",
     "scattering_sharded", "scattering2d_sharded", "ssq_sharded",
     "modwt2_sharded", "imodwt2_sharded", "dtcwt_sharded", "idtcwt_sharded",
 ]
@@ -290,10 +291,14 @@ def cwt_signal_sharded(x, scales, wavelet, mesh: Mesh,
     if check_aliasing:
         import math
 
-        # host-side: per-scale |√a·ψ̂(a·ω)| on a coarse grid up to Nyquist
+        # host-side: per-scale |√a·ψ̂(a·ω)| on a coarse grid up to Nyquist.
+        # local_devices, not devices: under jax.distributed the global
+        # device list starts with process 0's devices, and fetching a value
+        # computed on another process's device raises (caught by the
+        # 2-process full battery, tools/distributed_smoke.py --full).
         grid = np.linspace(0.0, math.pi * sampling_rate, 257)[None, :]
         with jax.ensure_compile_time_eval(), \
-                jax.default_device(jax.devices("cpu")[0]):
+                jax.default_device(jax.local_devices(backend="cpu")[0]):
             amp = np.abs(np.asarray(wavelet.psi_hat_scaled(
                 jnp.asarray(grid), jnp.asarray(scales_np[:, None]))))
         nyq_rel = amp[:, -1] / np.maximum(amp.max(axis=-1), 1e-300)

