@@ -95,12 +95,12 @@ def bench_fwt2d(dtype=jnp.float32, batch=16, n=1024):
     return batch * n * n / dt
 
 
-def bench_modwpt(batch=32, n=1 << 18, level=3):
+def bench_modwpt(batch=32, n=1 << 18, level=3, dtype=jnp.float32):
     """Shift-invariant packet tree: input samples/s (2^level full-length
     nodes per level — 2^level× output expansion at the leaf level)."""
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
-                    jnp.float32)
+                    dtype)
 
     def step(v):
         c = jw.modwpt(v, w, level)  # (2^L, B, N)
@@ -272,20 +272,21 @@ def bench_modwt_1d(n=1 << 24, level=5):
     return n / _time_chain(step, x)
 
 
-def bench_variance(batch=32, n=1 << 20, level=5):
+def bench_variance(batch=32, n=1 << 20, level=5, dtype=jnp.float32):
     """Fused single-pass wavelet variance (coefficients never hit HBM)."""
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
-                    jnp.float32)
+                    dtype)
 
     def step(v):
         s = jw.modwt_variance(v, w, level, method="fused")
-        return v + 1e-30 * jnp.sum(s)
+        return v + (1e-30 * jnp.sum(s)).astype(v.dtype)
 
     return batch * n / _time_chain(step, x)
 
 
-def bench_denoise(batch=32, n=1 << 20, level=5, method="fused"):
+def bench_denoise(batch=32, n=1 << 20, level=5, method="fused",
+                  dtype=jnp.float32):
     """Full denoise round trip (forward → soft-shrink → inverse).
 
     method='fused' = single-pass kernel (coefficients never touch HBM);
@@ -295,7 +296,7 @@ def bench_denoise(batch=32, n=1 << 20, level=5, method="fused"):
     """
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
-                    dtype=jnp.float32)
+                    dtype=dtype)
     dt = _time_chain(
         lambda v: jw.modwt_denoise(v, w, level, threshold=0.8,
                                    method=method), x)
@@ -348,11 +349,11 @@ def bench_ssq(batch=4, n=4096, n_scales=32):
     return batch * n / _time_chain(step, x)
 
 
-def bench_modwt2(batch=8, n=512, level=3, method="auto"):
+def bench_modwt2(batch=8, n=512, level=3, method="auto", dtype=jnp.float32):
     """2D MODWT forward: pixels/s (fused kernel on TPU when shapes allow)."""
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n)),
-                    jnp.float32)
+                    dtype)
 
     def step(v):
         c = jw.modwt2(v, w, level, method=method)
@@ -406,7 +407,9 @@ def main():
         run("fwt3_db4_128", bench_fwt3d)
         run("modwt3_db4_64", bench_modwt3d)
         run("variance_fused", bench_variance)
+        run("variance_bf16", lambda: bench_variance(dtype=jnp.bfloat16))
         run("denoise_fused", bench_denoise)
+        run("denoise_bf16", lambda: bench_denoise(dtype=jnp.bfloat16))
         run("denoise_xla", lambda: bench_denoise(method="auto"))
         run("modwt_xla_direct", lambda: bench_modwt(method="direct"))
         run("modwt_fft_method", lambda: bench_modwt(method="fft", batch=8))
@@ -414,6 +417,7 @@ def main():
         run("fwt2_db4_1024", bench_fwt2d)
         run("wpt_sym8_L6", bench_wpt)
         run("modwpt_db4_L3", bench_modwpt)
+        run("modwpt_bf16", lambda: bench_modwpt(dtype=jnp.bfloat16))
         run("modwpt2_db4_L2", bench_modwpt2)
         run("mp_db4_L3_k16", bench_mp)
         run("streaming_modwt_inc", bench_streaming)
@@ -425,6 +429,7 @@ def main():
         run("scattering2d_j4l8", bench_scattering2d)
         run("ssq_morlet_32scales", bench_ssq)
         run("modwt2_fwd_fused_512", bench_modwt2)
+        run("modwt2_bf16_512", lambda: bench_modwt2(dtype=jnp.bfloat16))
         run("modwt2_fwd_xla_512", lambda: bench_modwt2(method="direct"))
         run("modwt2_denoise_512", bench_modwt2_denoise)
     value = results["modwt_db4_L5"]

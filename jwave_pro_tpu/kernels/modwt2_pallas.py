@@ -29,8 +29,10 @@ Structure mirrors ``modwt_pallas.py``'s forward:
   each grid step DMAs its window, double-buffered across steps.
 
 Band order/letters identical to ``ops/modwt2d.modwt2`` ((LH, HL, HH) per
-level, letters = (row, col), LL last).  f32; other dtypes and unaligned
-shapes fall back to the XLA path via :func:`pallas2d_supported`.
+level, letters = (row, col), LL last).  f32 natively; bfloat16 images are
+DMA'd as bf16 (half the HBM traffic — the r4 bf16 I/O tier) and converted
+to f32 in VMEM for compute, bands stored back as bf16.  Other dtypes and
+unaligned shapes fall back to the XLA path via :func:`pallas2d_supported`.
 """
 from __future__ import annotations
 
@@ -43,6 +45,7 @@ import jax.numpy as jnp
 
 from ..wavelets.base import DiscreteWavelet
 from ..ops.modwt import modwt_base_filters
+from .modwt_pallas import _f32
 
 __all__ = ["modwt2_fused", "imodwt2_fused", "pallas2d_supported"]
 
@@ -88,7 +91,7 @@ def pallas2d_supported(r: int, c: int, level: int, m: int):
 
 
 def _fwd2_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
-                 n_i, n_j):
+                 n_i, n_j, out_dtype):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -121,7 +124,9 @@ def _fwd2_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
         dma((step + 1) % 2, nxt_b, nxt_i, nxt_j).start()
 
     dma(slot, b, i, j).wait()
-    v = bufs[slot]  # (rt+hr, ct+hc); garbage creeps from top/left per level
+    # (rt+hr, ct+hc); garbage creeps from top/left per level.  bf16 windows
+    # convert to f32 here (compute always runs f32 in VMEM).
+    v = _f32(bufs[slot])
     for lvl in range(1, level + 1):
         d = 1 << (lvl - 1)
         # lane pass (columns): shared rolls for the (g, h) pair
@@ -143,11 +148,11 @@ def _fwd2_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
             lh = tlh if lh is None else lh + tlh
             hh = thh if hh is None else hh + thh
         base = 3 * (lvl - 1)
-        out_ref[base + 0, 0] = lh[hr:, hc:]
-        out_ref[base + 1, 0] = hl[hr:, hc:]
-        out_ref[base + 2, 0] = hh[hr:, hc:]
+        out_ref[base + 0, 0] = lh[hr:, hc:].astype(out_dtype)
+        out_ref[base + 1, 0] = hl[hr:, hc:].astype(out_dtype)
+        out_ref[base + 2, 0] = hh[hr:, hc:].astype(out_dtype)
         v = ll
-    out_ref[3 * level, 0] = v[hr:, hc:]
+    out_ref[3 * level, 0] = v[hr:, hc:].astype(out_dtype)
 
 
 def _circular_pad2(x, hr, hc):
@@ -181,13 +186,15 @@ def modwt2_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     if sup is None:
         raise ValueError(f"unsupported shape {x.shape} for fused 2D MODWT")
     rt, ct, hr, hc = sup
+    dt = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))
     xp = _circular_pad2(x, hr, hc)
     n_i, n_j = r // rt, c // ct
 
     kernel = functools.partial(_fwd2_kernel, g=g, h=h, level=level, hr=hr,
-                               hc=hc, rt=rt, ct=ct, n_i=n_i, n_j=n_j)
+                               hc=hc, rt=rt, ct=ct, n_i=n_i, n_j=n_j,
+                               out_dtype=dt)
     interp = (jax.default_backend() != "tpu" if interpret is None
               else interpret)
     out = pl.pallas_call(
@@ -197,19 +204,18 @@ def modwt2_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
         out_specs=pl.BlockSpec((3 * level + 1, 1, rt, ct),
                                lambda b, i, j: (0, b, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3 * level + 1, bsz, r, c),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3 * level + 1, bsz, r, c), dt),
         scratch_shapes=[
-            pltpu.VMEM((2, rt + hr, ct + hc), jnp.float32),
+            pltpu.VMEM((2, rt + hr, ct + hc), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interp,
-    )(xp.astype(jnp.float32))
+    )(xp.astype(dt))
     return out[:, 0] if squeeze else out
 
 
 def _inv2_kernel(c_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
-                 n_i, n_j):
+                 n_i, n_j, out_dtype):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -244,11 +250,13 @@ def _inv2_kernel(c_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
 
     dma(slot, b, i, j).wait()
     c = bufs[slot]  # (rows, hgt, wid); garbage creeps from bottom/right
-    ll = c[rows - 1]
+    # bf16 coefficient rows convert to f32 at first use (per-row, so the
+    # f32 working set stays at the 4 live bands + carry)
+    ll = _f32(c[rows - 1])
     for lvl in range(level, 0, -1):
         d = 1 << (lvl - 1)
         base = 3 * (lvl - 1)
-        lh, hl, hh = c[base], c[base + 1], c[base + 2]
+        lh, hl, hh = (_f32(c[base]), _f32(c[base + 1]), _f32(c[base + 2]))
         # undo row pass (adjoint reads forward → left-roll via size − k·d)
         cl = ch = None
         for k in range(m):
@@ -267,7 +275,7 @@ def _inv2_kernel(c_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
                 t = pltpu.roll(t, wid - k * d, 1)
             acc = t if acc is None else acc + t
         ll = acc
-    out_ref[0] = ll[:rt, :ct]
+    out_ref[0] = ll[:rt, :ct].astype(out_dtype)
 
 
 def _circular_pad2_right(c, hr, hc):
@@ -304,13 +312,15 @@ def imodwt2_fused(c: jax.Array, wavelet: DiscreteWavelet,
         if r % rt or cc % ct or \
                 4 * (2 * rows * (rt + hr) * (ct + hc) + 2 * rt * ct) > 12 << 20:
             raise ValueError(f"VMEM budget exceeded for {c.shape}")
+    dt = c.dtype if c.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))
     cp = _circular_pad2_right(c, hr, hc)
     n_i, n_j = r // rt, cc // ct
 
     kernel = functools.partial(_inv2_kernel, g=g, h=h, level=level, hr=hr,
-                               hc=hc, rt=rt, ct=ct, n_i=n_i, n_j=n_j)
+                               hc=hc, rt=rt, ct=ct, n_i=n_i, n_j=n_j,
+                               out_dtype=dt)
     interp = (jax.default_backend() != "tpu" if interpret is None
               else interpret)
     out = pl.pallas_call(
@@ -319,11 +329,11 @@ def imodwt2_fused(c: jax.Array, wavelet: DiscreteWavelet,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, rt, ct), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, r, cc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, r, cc), dt),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, rt + hr, ct + hc), jnp.float32),
+            pltpu.VMEM((2, rows, rt + hr, ct + hc), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interp,
-    )(cp.astype(jnp.float32))
+    )(cp.astype(dt))
     return out[0] if squeeze else out

@@ -89,7 +89,8 @@ def _check_nd(dims, level):
 
 def _try_pallas2(x, wavelet, level):
     """Dispatch the 2D forward to the fused TPU kernel when shapes allow."""
-    if jax.default_backend() != "tpu" or x.dtype != jnp.float32:
+    if jax.default_backend() != "tpu" or x.dtype not in (jnp.float32,
+                                                         jnp.bfloat16):
         return None
     if x.ndim not in (2, 3):
         return None
@@ -152,7 +153,8 @@ def imodwt2(coeffs: jax.Array, wavelet: DiscreteWavelet,
             f"{coeffs.shape[0]}")
     level = (coeffs.shape[0] - 1) // 3
     if method in ("auto", "pallas"):
-        if (jax.default_backend() == "tpu" and coeffs.dtype == jnp.float32
+        if (jax.default_backend() == "tpu"
+                and coeffs.dtype in (jnp.float32, jnp.bfloat16)
                 and coeffs.ndim in (3, 4)):
             from ..kernels.modwt2_pallas import (
                 imodwt2_fused, pallas2d_supported)

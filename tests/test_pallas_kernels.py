@@ -493,3 +493,73 @@ class TestModwptFused:
             modwpt_fused(v, DB4, 2, 8192, True) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x),
                                    atol=1e-4)
+
+
+class TestBf16Tier:
+    """bf16 I/O tier (VERDICT r3 #3): every fused kernel accepts bf16
+    signals — DMA'd at half traffic, computed in f32 in VMEM — with
+    documented error bounds vs the f64 oracle (bf16 mantissa = 8 bits ⇒
+    representation error ~4e-3 relative; the pipelines stay within ~1e-2
+    absolute for unit-variance signals)."""
+
+    def test_denoise_bf16(self, rng):
+        from jwave_pro_tpu.kernels.denoise_pallas import modwt_denoise_fused
+        x32 = jnp.asarray(rng.standard_normal((8, 4096)), jnp.float32)
+        thr = jnp.full((8,), 0.8, jnp.float32)
+        got = modwt_denoise_fused(x32.astype(jnp.bfloat16), thr, DB4, 3,
+                                  interpret=True)
+        assert got.dtype == jnp.bfloat16
+        want = np.asarray(modwt_denoise_fused(x32, thr, DB4, 3,
+                                              interpret=True))
+        np.testing.assert_allclose(np.asarray(got, np.float64), want,
+                                   atol=6e-2)
+
+    def test_variance_bf16(self, rng):
+        from jwave_pro_tpu.kernels.variance_pallas import modwt_var_fused
+        x32 = jnp.asarray(rng.standard_normal((8, 4096)), jnp.float32)
+        got = np.asarray(modwt_var_fused(x32.astype(jnp.bfloat16), DB4, 3,
+                                         interpret=True))
+        assert got.dtype == np.float32  # the statistic stays f32
+        want = np.asarray(modwt_var_fused(x32, DB4, 3, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=1e-4)
+
+    def test_modwpt_bf16(self, rng):
+        from jwave_pro_tpu.kernels.modwpt_pallas import (
+            imodwpt_fused, modwpt_fused)
+        x32 = jnp.asarray(rng.standard_normal((8, 2048)), jnp.float32)
+        c = modwpt_fused(x32.astype(jnp.bfloat16), DB4, 2, interpret=True)
+        assert c.dtype == jnp.bfloat16
+        want = np.asarray(jw.modwpt(x32, DB4, 2, method="direct"))
+        np.testing.assert_allclose(np.asarray(c, np.float64), want,
+                                   atol=4e-2)
+        xr = imodwpt_fused(c, DB4, interpret=True)
+        assert xr.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(xr, np.float64),
+                                   np.asarray(x32, np.float64), atol=8e-2)
+
+    def test_modwt2_bf16(self, rng):
+        from jwave_pro_tpu.kernels.modwt2_pallas import (
+            imodwt2_fused, modwt2_fused)
+        w = jw.wavelet("Daubechies 4")
+        x32 = rng.standard_normal((2, 64, 256)).astype(np.float32)
+        x16 = jnp.asarray(x32, jnp.bfloat16)
+        c = modwt2_fused(x16, w, 2)
+        assert c.dtype == jnp.bfloat16
+        want = np.asarray(jw.modwt2(x32.astype(np.float64), w, 2,
+                                    method="direct"))
+        np.testing.assert_allclose(np.asarray(c, np.float64), want,
+                                   atol=4e-2)
+        xr = imodwt2_fused(c, w)
+        assert xr.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(xr, np.float64),
+                                   x32.astype(np.float64), atol=8e-2)
+
+    def test_modwt2_dispatch_accepts_bf16(self, rng):
+        # the public modwt2/imodwt2 'auto' gate admits bf16 (TPU-only
+        # dispatch; on CPU it falls back to XLA which also handles bf16)
+        x16 = jnp.asarray(rng.standard_normal((2, 64, 256)), jnp.bfloat16)
+        w = jw.wavelet("Daubechies 4")
+        c = jw.modwt2(x16, w, 2)
+        assert c.dtype == jnp.bfloat16
+        xr = jw.imodwt2(c, w)
+        assert xr.dtype == jnp.bfloat16

@@ -78,6 +78,16 @@ def main():
         imodwt_fused(modwt_fused(v.astype(jnp.bfloat16), w, 5),
                      w).astype(jnp.float32) - v)))(x))
     ok &= check("pallas bf16 roundtrip", err, 1e-1)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.modwt_denoise(v.astype(jnp.bfloat16), w, 4, threshold=0.8,
+                         method="fused").astype(jnp.float32)
+        - jw.modwt_denoise(v, w, 4, threshold=0.8, method="fused"))))(x))
+    ok &= check("bf16 fused denoise ≡ f32", err, 1e-1)
+    img16 = jnp.asarray(rng.standard_normal((4, 64, 256)), dtype=jnp.float32)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.imodwt2(jw.modwt2(v.astype(jnp.bfloat16), w, 2),
+                   w).astype(jnp.float32) - v)))(img16))
+    ok &= check("bf16 2D modwt roundtrip", err, 1e-1)
 
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
         jw.modwt_denoise(v, w, 4, threshold=0.8, method="fused")
