@@ -18,8 +18,10 @@ forward MODWPT (``⟨r, atom[n,t]⟩ = W_n[t]/‖f_n‖``) — 2^J·N inner prod
 for one fused-kernel pass (kernels/modwpt_pallas.py, 52 G coeff-samples/s).
 This is the TPU-first formulation: no per-atom loops, no explicit
 (2^J·N, N) dictionary matrix, and the greedy iteration is a fixed-length
-``lax.scan`` (static shapes; one transform + one argmax + one rolled
-subtraction per step).
+``lax.scan`` (static shapes; one transform + one argmax + one S-wide
+windowed subtraction per step — the atom's finite support
+S = (M−1)(2^J−1)+1 ≪ N makes the update a dynamic-slice add, not an
+N-length roll; see ``_subtract_atom_windowed``).
 
 The effective node filters come from the same host-side spectral cascade the
 FFT path uses (``ops/modwpt._composite_packet_multipliers``), so the
@@ -109,6 +111,48 @@ def _spectral_tables(wavelet: DiscreteWavelet, level: int, n: int):
     rev, _ = _atom_tables(wavelet, level, n)
     spec = np.fft.rfft(rev, axis=-1)
     return (spec.real.astype(np.float32), spec.imag.astype(np.float32))
+
+
+@functools.lru_cache(maxsize=64)
+def _support_window_table(wavelet: DiscreteWavelet, level: int, n: int):
+    """(2^L, S) window per node: the atom's only nonzero samples.
+
+    A level-L MODWPT node's effective filter has finite support
+    ``S = (M−1)(2^L−1)+1`` ≪ N, so the unit atom at shift t occupies just
+    the S positions ``[t−S+1, t] mod N``.  ``win[node][i]`` is the atom
+    value at position ``t − S + 1 + i`` (i.e. ``rev_unit[node]`` values
+    reordered): subtracting ``amp·atom`` is an S-wide windowed update, not
+    an N-length roll — the r4 roofline found the per-pick spectral-roll
+    irfft was 70% of the whole MP step (tools/rooflines.py).
+    Returns (win, S).
+    """
+    rev, _ = _atom_tables(wavelet, level, n)
+    s = min((wavelet.length - 1) * ((1 << level) - 1) + 1, n)
+    win = np.concatenate([rev[:, n - s + 1:], rev[:, :1]], axis=1)
+    return win, s
+
+
+def _subtract_atom_windowed(r, win_table, s: int, node, t, amp):
+    """``r − amp·atom(node, t)`` via an S-wide dynamic-slice add.
+
+    The window [t−S+1, t] may wrap; the update lands in a zero (…, N+S)
+    staging buffer at start = (t−S+1) mod N ∈ [0, N) so it never crosses
+    the buffer end more than once, and the overflow [N, N+S) folds back
+    onto [0, S).  All shapes static; batched starts vmap to a scatter of
+    S·B elements (µs-scale vs the 0.107 ms full-length irfft it replaces).
+    """
+    n = r.shape[-1]
+    vals = amp[..., None] * jnp.take(win_table, node, axis=0)   # (..., S)
+    start = (t - (s - 1)) % n
+    z = jnp.zeros(r.shape[:-1] + (n + s,), r.dtype)
+
+    def upd(zrow, vrow, st):
+        return lax.dynamic_update_slice(zrow, vrow, (st,))
+
+    for _ in range(r.ndim - 1):
+        upd = jax.vmap(upd)
+    z = upd(z, vals, start)
+    return r - z[..., :n].at[..., :s].add(z[..., n:])
 
 
 def _use_spectral_roll(n: int) -> bool:
@@ -207,10 +251,13 @@ def matching_pursuit(x: jax.Array, wavelet: DiscreteWavelet, level: int,
         return node, t, amp
 
     if not orthogonalize:
+        win_np, s_win = _support_window_table(wavelet, level, n)
+        win_tab = jnp.asarray(win_np, dtype=x.dtype)
+
         def body(r, _):
             node, t, amp = select(r)
-            atom = _gather_atoms(rev_unit, node, t, n, spectral)
-            return r - amp[..., None] * atom, (node, t, amp)
+            return (_subtract_atom_windowed(r, win_tab, s_win, node, t, amp),
+                    (node, t, amp))
 
         residual, (nodes, shifts, amps) = lax.scan(body, x, None,
                                                    length=n_atoms)
@@ -275,8 +322,11 @@ def mp_reconstruct(result: MPResult, wavelet: DiscreteWavelet,
                    n: int | None = None) -> jax.Array:
     """Rebuild ``Σ_k amps[k]·atom(nodes[k], shifts[k])`` → ``(..., N)``.
 
-    ``x ≈ mp_reconstruct(r) + r.residual`` exactly (the scan subtracts the
-    same gathered atoms this sums).  ``n`` defaults to the residual length.
+    ``x ≈ mp_reconstruct(r) + r.residual`` to working precision: the scan's
+    windowed subtraction uses the atom's exact finite support while this
+    sums full-length gathered atoms, which differ only by the irfft's
+    numerical junk (~eps·N) outside the support (on-chip identity 7e-7
+    f32, 1e-12 vs the f64 oracle).  ``n`` defaults to the residual length.
     """
     if n is None:
         n = result.residual.shape[-1]

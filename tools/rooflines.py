@@ -84,13 +84,16 @@ def scattering2d_roofline(batch=4, n=256, j=4, l=8):
             vol += l * l * (2 * loc + batch * ((1 << j) // dd) ** 2)
 
     vols = jnp.asarray(rng.standard_normal((max(vol // (n * n), 1), n, n)),
-                       jnp.complex64)
-
-    def fft_ceiling(v):
-        return jnp.fft.ifft2(v, axes=(-2, -1)) * (1 + 1e-30)
+                       jnp.float32)
 
     # time ONE batched complex ifft2 with ≈ the cascade's total volume
-    t_fft = _t(lambda v: fft_ceiling(v).real + 1e-30 * fft_ceiling(v).imag,
+    # (real carry — complex scalars can't be fetched through the tunnel —
+    # so the step casts to c64 first; that extra pass makes the ceiling
+    # slightly conservative)
+    t_fft = _t(lambda v: jnp.fft.ifft2(v.astype(jnp.complex64),
+                                       axes=(-2, -1)).real
+               + 1e-30 * jnp.fft.ifft2(v.astype(jnp.complex64),
+                                       axes=(-2, -1)).imag,
                vols)
 
     print(f"scattering2d (B={batch}, {n}², j={j}, l={l}): "
