@@ -87,6 +87,26 @@ def bench_fwt(dtype=jnp.float32, batch=32, n=1 << 20):
     return batch * n / dt
 
 
+def bench_fwt_roundtrip(batch=32, n=1 << 20, level=5):
+    """FWT fwd+inv, both directions on the fused multi-level matmuls (the
+    r4 packed synthesis constant — see docs/PERFORMANCE.md)."""
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    jnp.float32)
+    from jwave_pro_tpu.ops.fwt import fwt, ifwt
+    dt = _time_chain(lambda v: ifwt(fwt(v, w, level=level), w, level=level),
+                     x)
+    return batch * n / dt
+
+
+def bench_dtcwt_roundtrip(batch=32, n=1 << 20, level=5):
+    """Dual-tree fwd+inv (two orthonormal trees + complex combine/split)."""
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    jnp.float32)
+    dt = _time_chain(lambda v: jw.idtcwt(jw.dtcwt(v, level)), x)
+    return batch * n / dt
+
+
 def bench_fwt2d(dtype=jnp.float32, batch=16, n=1024):
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n)),
@@ -414,6 +434,8 @@ def main():
         run("modwt_xla_direct", lambda: bench_modwt(method="direct"))
         run("modwt_fft_method", lambda: bench_modwt(method="fft", batch=8))
         run("fwt_db4_1m", bench_fwt)
+        run("fwt_roundtrip", bench_fwt_roundtrip)
+        run("dtcwt_roundtrip", bench_dtcwt_roundtrip)
         run("fwt2_db4_1024", bench_fwt2d)
         run("wpt_sym8_L6", bench_wpt)
         run("modwpt_db4_L3", bench_modwpt)

@@ -133,3 +133,25 @@ def test_long_filter_fused_equals_stepwise(rng):
         h *= 2
     np.testing.assert_allclose(np.asarray(jw.ifwt(y, w, 4)),
                                np.asarray(cur), atol=1e-12)
+
+
+def test_packed_synthesis_matrix_matches_segments():
+    # r4: the packed (2*BLK, BLK) synthesis constant must be exactly the
+    # per-segment constants row-offset by the [a_L | d_L | ... | d_1]
+    # block layout (the MXU packing is a pure reindexing, not a new bank)
+    from jwave_pro_tpu.ops.fwt import (
+        _BLK, _synthesis_matrices_fused, _synthesis_matrix_fused_packed,
+    )
+    for names in (("Daubechies 4",) * 5, ("Symlet 8",) * 4,
+                  ("Haar orthogonal",) * 3,
+                  ("Symlet 8", "Daubechies 4", "Haar")):
+        ws = tuple(jw.wavelet(n) for n in names)
+        prev, cur = _synthesis_matrix_fused_packed(ws, "float64")
+        mats = _synthesis_matrices_fused(ws, "float64")
+        off = 0
+        for mat in mats:
+            cnt = mat.shape[0] // 2
+            np.testing.assert_array_equal(prev[off:off + cnt], mat[:cnt])
+            np.testing.assert_array_equal(cur[off:off + cnt], mat[cnt:])
+            off += cnt
+        assert off == _BLK
