@@ -41,8 +41,8 @@ import jax.numpy as jnp
 from ..wavelets.base import DiscreteWavelet
 from ..ops.modwt import _check_level, modwt_base_filters
 from .modwt_pallas import (
-    DEFAULT_TILE, _aligned_halo, _f32, _fold_heads, _fold_tails,
-    _pick_interpret, _pick_sublanes,
+    DEFAULT_TILE, Plan, _aligned_halo, _circ_take, _f32, _fold_heads,
+    _fold_tails, _pad_circular, _pick_interpret, _pick_sublanes,
 )
 
 __all__ = ["modwpt_fused", "imodwpt_fused", "pallas_supported"]
@@ -71,21 +71,25 @@ def _vmem_bytes(sublanes: int, tile: int, halo: int, level: int,
 
 def pallas_supported(batch: int, n: int, level: int, m: int,
                      tile: int = DEFAULT_TILE, itemsize: int = 4,
-                     inverse: bool = False):
-    """Return a (sublanes, tile, fold) plan, or None if the kernel can't run.
+                     inverse: bool = False) -> Plan | None:
+    """Return a :class:`modwt_pallas.Plan`, or None if the kernel can't run.
 
     Mirrors ``modwt_pallas.pallas_supported`` (smallest workable fold wins;
-    see its docstring for the measured fold-cost rationale) with an extra
-    VMEM constraint: 2^level live node rows shrink the feasible tile.
+    see its docstring for the measured fold-cost rationale, and for the
+    padded arbitrary-N plan search — here with the extra VMEM constraint
+    that 2^level live node rows shrink the feasible tile).
     """
     halo = _aligned_halo(m, level)
+
+    def fits(nloc: int, sub: int, t: int) -> bool:
+        return (halo < t and t % 128 == 0 and
+                _vmem_bytes(sub, t, halo, level, itemsize, inverse)
+                <= VMEM_BUDGET)
 
     def tile_for(nloc: int, sub: int) -> int | None:
         t = min(tile, nloc)
         while t >= 512:
-            if (nloc % t == 0 and halo < t and
-                    _vmem_bytes(sub, t, halo, level, itemsize, inverse)
-                    <= VMEM_BUDGET):
+            if nloc % t == 0 and fits(nloc, sub, t):
                 return t
             t //= 2
         return None
@@ -94,7 +98,7 @@ def pallas_supported(batch: int, n: int, level: int, m: int,
     if sub is not None:
         t = tile_for(n, sub)
         if t is not None:
-            return (sub, t, 1)
+            return Plan(sub, t, 1, n)
     fallback = None
     for fold in (2, 4, 8, 16, 32):
         if n % fold:
@@ -106,10 +110,31 @@ def pallas_supported(batch: int, n: int, level: int, m: int,
         if t is None:
             continue
         if sub == 16:
-            return (sub, t, fold)
+            return Plan(sub, t, fold, n)
         if fallback is None:
-            fallback = (sub, t, fold)
-    return fallback
+            fallback = Plan(sub, t, fold, n)
+    if fallback is not None:
+        return fallback
+    # --- padded (arbitrary-N) plans — modwt_pallas rationale applies ---
+    best = None
+    best_cost = None
+    for fold in (1, 2, 4, 8, 16, 32):
+        sub = _pick_sublanes(batch * fold)
+        if sub is None:
+            continue
+        t = min(tile, DEFAULT_TILE)
+        while t >= 512:
+            if fits(n, sub, t):
+                nloc = -(-n // (fold * t)) * t
+                n_pad = nloc * fold
+                cost = n_pad * (1.0 + halo / t)
+                if sub != 16:
+                    cost *= 1.8
+                if n_pad * 4 <= n * 5 and (best is None
+                                           or cost < best_cost):
+                    best, best_cost = Plan(sub, t, fold, n_pad), cost
+            t //= 2
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -197,20 +222,29 @@ def _modwpt_fused_impl(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     squeeze = x.ndim == 1
     if squeeze:
         x = x.reshape(1, -1)
-    b, n = x.shape
-    _check_level(n, level)
+    b, n0 = x.shape
+    _check_level(n0, level)
     g64, h64 = modwt_base_filters(wavelet)
     m = int(g64.shape[0])
-    sup = pallas_supported(b, n, level, m, tile)
+    sup = pallas_supported(b, n0, level, m, tile)
     if sup is None:
         raise ValueError(f"unsupported shape {x.shape} for fused MODWPT")
-    sublanes, tile, fold = sup
+    sublanes, tile, fold, n = sup
     halo = _aligned_halo(m, level)
     dt = x.dtype
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))
     rows, nloc = b * fold, n // fold
+    pad = n - n0
+    x_orig = x
+    if pad:
+        x = _pad_circular(x, pad)
     xr, tails = _fold_tails(x, fold, halo, tile)
+    if pad:
+        # circular wrap is mod N0: each signal's first row/tile left context
+        # is the ORIGINAL tail (see modwt_pallas._modwt_fused_impl)
+        tails = tails.at[0, ::fold].set(
+            _circ_take(x_orig, n0 - halo, halo).astype(tails.dtype))
     num_nodes = 1 << level
 
     kernel = functools.partial(_forward_kernel, g=g, h=h, level=level,
@@ -233,10 +267,10 @@ def _modwpt_fused_impl(x: jax.Array, wavelet: DiscreteWavelet, level: int,
         interpret=_pick_interpret(interpret),
     )(xr, tails)
     if squeeze:
-        return out.reshape(num_nodes, n)
+        return out.reshape(num_nodes, n)[:, :n0]
     if fold > 1:
         out = out.reshape(num_nodes, b, n)
-    return out
+    return out[..., :n0]
 
 
 # ---------------------------------------------------------------------------
@@ -325,20 +359,30 @@ def _imodwpt_fused_impl(c: jax.Array, wavelet: DiscreteWavelet,
     squeeze = c.ndim == 2
     if squeeze:
         c = c.reshape(c.shape[0], 1, c.shape[1])
-    num_nodes, b, n = c.shape
+    num_nodes, b, n0 = c.shape
     level = num_nodes.bit_length() - 1
     g64, h64 = modwt_base_filters(wavelet)
     m = int(g64.shape[0])
-    sup = pallas_supported(b, n, level, m, tile, inverse=True)
+    sup = pallas_supported(b, n0, level, m, tile, inverse=True)
     if sup is None:
         raise ValueError(f"unsupported shape {c.shape} for fused iMODWPT")
-    sublanes, tile, fold = sup
+    sublanes, tile, fold, n = sup
     halo = _aligned_halo(m, level)
     dt = c.dtype
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))
     krows, nloc = b * fold, n // fold
+    pad = n - n0
+    c_orig = c
+    if pad:
+        c = _pad_circular(c, pad)
     cr, heads = _fold_heads(c, fold, halo, tile)
+    if pad:
+        # adjoint convs read FORWARD: the last-row/last-tile right context
+        # is circular position N_pad mod N0 = pad (see modwt_pallas)
+        nj = nloc // tile
+        heads = heads.at[:, nj - 1, fold - 1::fold].set(
+            _circ_take(c_orig, pad, halo).astype(heads.dtype))
 
     kernel = functools.partial(_inverse_kernel, g=g, h=h, level=level,
                                halo=halo, tile=tile, sublanes=sublanes,
@@ -359,10 +403,10 @@ def _imodwpt_fused_impl(c: jax.Array, wavelet: DiscreteWavelet,
         interpret=_pick_interpret(interpret),
     )(cr, heads)
     if squeeze:
-        return out.reshape(n)
+        return out.reshape(n)[:n0]
     if fold > 1:
         out = out.reshape(b, n)
-    return out
+    return out[..., :n0]
 
 
 # ---------------------------------------------------------------------------

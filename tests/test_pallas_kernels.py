@@ -431,6 +431,26 @@ class TestModwptFused:
         xr = np.asarray(imodwpt_fused(c, DB4, interpret=True))
         np.testing.assert_allclose(xr, np.asarray(x), atol=2e-5)
 
+    @pytest.mark.parametrize("batch,n", [(8, 5000), (1, 50000)])
+    def test_arbitrary_n_forward_and_roundtrip(self, batch, n, rng):
+        # r4: padded dispatch (mirrors the MODWT kernel's) — circular pad
+        # to the tile grid, wrap contexts re-pointed mod N0, output sliced
+        from jwave_pro_tpu.kernels.modwpt_pallas import (
+            imodwpt_fused, modwpt_fused, pallas_supported)
+        plan = pallas_supported(batch, n, 3, DB4.length)
+        assert plan is not None and plan.n_pad > n
+        shape = (batch, n) if batch > 1 else (n,)
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        got = np.asarray(modwpt_fused(x, DB4, 3, interpret=True))
+        want = np.asarray(jw.modwpt(np.asarray(x, np.float64), DB4, 3,
+                                    method="direct"))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+        assert pallas_supported(batch, n, 3, DB4.length,
+                                inverse=True) is not None
+        c = jnp.asarray(want, jnp.float32)
+        xr = np.asarray(imodwpt_fused(c, DB4, interpret=True))
+        np.testing.assert_allclose(xr, np.asarray(x, np.float64), atol=2e-5)
+
     def test_inverse_of_xla_forward(self, rng):
         from jwave_pro_tpu.kernels.modwpt_pallas import imodwpt_fused
         x = rng.standard_normal((8, 2048))
@@ -478,11 +498,11 @@ class TestModwptFused:
     def test_vmem_plan_shrinks_tile_with_level(self):
         from jwave_pro_tpu.kernels.modwpt_pallas import pallas_supported
         # deeper trees hold 2^L live rows → the plan must shrink the tile
-        _, t3, _ = pallas_supported(32, 1 << 18, 3, 8)
-        _, t5, _ = pallas_supported(32, 1 << 18, 5, 8)
+        t3 = pallas_supported(32, 1 << 18, 3, 8).tile
+        t5 = pallas_supported(32, 1 << 18, 5, 8).tile
         assert t5 < t3
         # inverse holds 2·2^L window buffers → at most the forward's tile
-        _, t5i, _ = pallas_supported(32, 1 << 18, 5, 8, inverse=True)
+        t5i = pallas_supported(32, 1 << 18, 5, 8, inverse=True).tile
         assert t5i <= t5
 
     def test_grad_through_fused(self, rng):
