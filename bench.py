@@ -370,10 +370,11 @@ def bench_ssq(batch=4, n=4096, n_scales=32):
 
 
 def bench_modwt2(batch=8, n=512, level=3, method="auto", dtype=jnp.float32):
-    """2D MODWT forward: pixels/s (fused kernel on TPU when shapes allow)."""
+    """2D MODWT forward: pixels/s (fused kernel on TPU when shapes allow).
+    ``n=None`` → the arbitrary-size (1000, 750) wrap-padded plan (r4)."""
     w = jw.wavelet("Daubechies 4")
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n)),
-                    dtype)
+    shape = (batch, n, n) if n is not None else (batch, 1000, 750)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(shape), dtype)
 
     def step(v):
         c = jw.modwt2(v, w, level, method=method)
@@ -381,7 +382,7 @@ def bench_modwt2(batch=8, n=512, level=3, method="auto", dtype=jnp.float32):
             return c[-1] + 1e-30 * jnp.sum(c[:-1], axis=0)
         return c[-1]  # pallas writes the whole buffer; DCE-proof
 
-    return batch * n * n / _time_chain(step, x)
+    return x.size / _time_chain(step, x)
 
 
 def bench_modwt2_denoise(batch=8, n=512, level=3):
@@ -439,6 +440,7 @@ def main():
         run("fwt2_db4_1024", bench_fwt2d)
         run("wpt_sym8_L6", bench_wpt)
         run("modwpt_db4_L3", bench_modwpt)
+        run("modwpt_arbN_100003", lambda: bench_modwpt(n=100003))
         run("modwpt_bf16", lambda: bench_modwpt(dtype=jnp.bfloat16))
         run("modwpt2_db4_L2", bench_modwpt2)
         run("mp_db4_L3_k16", bench_mp)
@@ -451,6 +453,7 @@ def main():
         run("scattering2d_j4l8", bench_scattering2d)
         run("ssq_morlet_32scales", bench_ssq)
         run("modwt2_fwd_fused_512", bench_modwt2)
+        run("modwt2_arb_1000x750", lambda: bench_modwt2(n=None))
         run("modwt2_bf16_512", lambda: bench_modwt2(dtype=jnp.bfloat16))
         run("modwt2_fwd_xla_512", lambda: bench_modwt2(method="direct"))
         run("modwt2_denoise_512", bench_modwt2_denoise)

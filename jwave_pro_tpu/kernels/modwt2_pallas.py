@@ -37,6 +37,7 @@ unaligned shapes fall back to the XLA path via :func:`pallas2d_supported`.
 from __future__ import annotations
 
 import functools
+import typing
 
 import numpy as np
 
@@ -48,6 +49,21 @@ from ..ops.modwt import modwt_base_filters
 from .modwt_pallas import _f32
 
 __all__ = ["modwt2_fused", "imodwt2_fused", "pallas2d_supported"]
+
+
+class Plan2(typing.NamedTuple):
+    """2D dispatch plan; ``(r_pad, c_pad) == (r, c)`` for exact tilings.
+
+    Arbitrary sizes (r4, mirroring the 1D kernels) wrap-pad the image to
+    the tile grid with TRUE mod-(R0, C0) halo contexts and slice the
+    output back — see :func:`_pad_ctx2`.
+    """
+    rt: int
+    ct: int
+    hr: int
+    hc: int
+    r_pad: int
+    c_pad: int
 
 
 def _halo(m: int, level: int) -> int:
@@ -68,8 +84,16 @@ def _pick_tile(n: int, quantum: int, target: int):
     return None
 
 
-def pallas2d_supported(r: int, c: int, level: int, m: int):
-    """Return (row_tile, col_tile, halo_r, halo_c) or None."""
+def _vmem_ok(rt: int, ct: int, hr: int, hc: int, level: int) -> bool:
+    # VMEM budget: window + 2 lane-pass accumulators (full window) +
+    # double-buffered (3L+1, rt, ct) output blocks, f32
+    win = (rt + hr) * (ct + hc)
+    out = (3 * level + 1) * rt * ct
+    return 4 * (3 * win + 2 * out) <= 12 << 20
+
+
+def pallas2d_supported(r: int, c: int, level: int, m: int) -> Plan2 | None:
+    """Return a :class:`Plan2`, or None if the kernel can't run."""
     if level < 1:
         return None
     halo = _halo(m, level)
@@ -79,15 +103,27 @@ def pallas2d_supported(r: int, c: int, level: int, m: int):
         return None
     rt = _pick_tile(r, 8, 128)
     ct = _pick_tile(c, 128, 512)
-    if rt is None or ct is None:
-        return None
-    # VMEM budget: window + 2 lane-pass accumulators (full window) +
-    # double-buffered (3L+1, rt, ct) output blocks, f32
-    win = (rt + hr) * (ct + hc)
-    out = (3 * level + 1) * rt * ct
-    if 4 * (3 * win + 2 * out) > 12 << 20:
-        return None
-    return rt, ct, hr, hc
+    if rt is not None and ct is not None and _vmem_ok(rt, ct, hr, hc, level):
+        return Plan2(rt, ct, hr, hc, r, c)
+    # --- padded (arbitrary-size) plans: wrap-pad to the tile grid,
+    # minimizing total windowed area; > 25% pad waste → XLA path ---
+    best = None
+    best_cost = None
+    # (tile menu kept to power-of-two-nested values so the inverse's VMEM
+    # fallback shrink min(rt, 64)/min(ct, 256) preserves grid divisibility)
+    for rt in (128, 64, 32, 16, 8):
+        for ct in (512, 256, 128):
+            if not _vmem_ok(rt, ct, hr, hc, level):
+                continue
+            r_pad = _aligned(r, rt)
+            c_pad = _aligned(c, ct)
+            if r_pad * c_pad * 4 > r * c * 5:
+                continue
+            cost = (r_pad * c_pad) * (1 + hr / rt) * (1 + hc / ct)
+            if best is None or cost < best_cost:
+                best = Plan2(rt, ct, hr, hc, r_pad, c_pad)
+                best_cost = cost
+    return best
 
 
 def _fwd2_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
@@ -155,11 +191,28 @@ def _fwd2_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
     out_ref[3 * level, 0] = v[hr:, hc:].astype(out_dtype)
 
 
-def _circular_pad2(x, hr, hc):
-    """Left/top circular context: (B, R, C) → (B, R+hr, C+hc)."""
-    top = x[..., -hr:, :] if hr else x[..., :0, :]
+def _wrap_pad2(x, r_pad, c_pad):
+    """Wrap-pad bottom/right to the tile grid: every padded position (i, j)
+    holds ``x[..., i mod R0, j mod C0]`` (mode='wrap' handles multi-wrap)."""
+    r0, c0 = x.shape[-2], x.shape[-1]
+    width = [(0, 0)] * (x.ndim - 2) + [(0, r_pad - r0), (0, c_pad - c0)]
+    return jnp.pad(x, width, mode="wrap")
+
+
+def _circular_pad2(x, hr, hc, r0=None, c0=None):
+    """Left/top circular context: (B, R, C) → (B, R+hr, C+hc).
+
+    ``r0``/``c0``: the ORIGINAL image dims when ``x`` is wrap-padded to a
+    tile grid — the circular wrap is mod (R0, C0), not mod the padded
+    shape, so the contexts are tiny mod-index takes (the 2D analog of the
+    1D kernels' re-pointed wrap tails).  Default = exact-tiling behavior
+    (take indices reduce to the plain last-rows/cols slices).
+    """
+    r0 = x.shape[-2] if r0 is None else r0
+    c0 = x.shape[-1] if c0 is None else c0
+    top = jnp.take(x, jnp.asarray(np.arange(r0 - hr, r0) % r0), axis=-2)
     xr = jnp.concatenate([top, x], axis=-2)
-    left = xr[..., :, -hc:] if hc else xr[..., :, :0]
+    left = jnp.take(xr, jnp.asarray(np.arange(c0 - hc, c0) % c0), axis=-1)
     return jnp.concatenate([left, xr], axis=-1)
 
 
@@ -179,17 +232,19 @@ def modwt2_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
         x = x[None]
     if x.ndim != 3:
         raise ValueError("modwt2_fused expects (B, R, C) or (R, C)")
-    bsz, r, c = x.shape
+    bsz, r0, c0 = x.shape
     g64, h64 = modwt_base_filters(wavelet)
     m = int(g64.shape[0])
-    sup = pallas2d_supported(r, c, level, m)
+    sup = pallas2d_supported(r0, c0, level, m)
     if sup is None:
         raise ValueError(f"unsupported shape {x.shape} for fused 2D MODWT")
-    rt, ct, hr, hc = sup
+    rt, ct, hr, hc, r, c = sup
     dt = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))
-    xp = _circular_pad2(x, hr, hc)
+    if (r, c) != (r0, c0):
+        x = _wrap_pad2(x, r, c)
+    xp = _circular_pad2(x, hr, hc, r0, c0)
     n_i, n_j = r // rt, c // ct
 
     kernel = functools.partial(_fwd2_kernel, g=g, h=h, level=level, hr=hr,
@@ -211,6 +266,7 @@ def modwt2_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
         ],
         interpret=interp,
     )(xp.astype(dt))
+    out = out[..., :r0, :c0]
     return out[:, 0] if squeeze else out
 
 
@@ -278,11 +334,18 @@ def _inv2_kernel(c_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
     out_ref[0] = ll[:rt, :ct].astype(out_dtype)
 
 
-def _circular_pad2_right(c, hr, hc):
-    """Right/bottom circular context: (..., R, C) → (..., R+hr, C+hc)."""
-    bot = c[..., :hr, :] if hr else c[..., :0, :]
+def _circular_pad2_right(c, hr, hc, r0=None, c0=None):
+    """Right/bottom circular context: (..., R, C) → (..., R+hr, C+hc).
+
+    ``r0``/``c0``: the original dims when ``c`` is wrap-padded to a tile
+    grid — row R_pad + k wraps to ``(R_pad + k) mod R0``, not row k (see
+    :func:`_circular_pad2`'s mod-index rationale)."""
+    r, cc = c.shape[-2], c.shape[-1]
+    r0 = r if r0 is None else r0
+    c0 = cc if c0 is None else c0
+    bot = jnp.take(c, jnp.asarray(np.arange(r, r + hr) % r0), axis=-2)
     cr = jnp.concatenate([c, bot], axis=-2)
-    right = cr[..., :, :hc] if hc else cr[..., :, :0]
+    right = jnp.take(cr, jnp.asarray(np.arange(cc, cc + hc) % c0), axis=-1)
     return jnp.concatenate([cr, right], axis=-1)
 
 
@@ -298,14 +361,14 @@ def imodwt2_fused(c: jax.Array, wavelet: DiscreteWavelet,
         c = c[:, None]
     if c.ndim != 4 or c.shape[0] % 3 != 1:
         raise ValueError("imodwt2_fused expects a (3L+1, [B,] R, C) stack")
-    rows, bsz, r, cc = c.shape
+    rows, bsz, r0, c0 = c.shape
     level = (rows - 1) // 3
     g64, h64 = modwt_base_filters(wavelet)
     m = int(g64.shape[0])
-    sup = pallas2d_supported(r, cc, level, m)
+    sup = pallas2d_supported(r0, c0, level, m)
     if sup is None:
         raise ValueError(f"unsupported shape {c.shape} for fused 2D iMODWT")
-    rt, ct, hr, hc = sup
+    rt, ct, hr, hc, r, cc = sup
     # the inverse holds the whole (3L+1)-row window stack double-buffered
     if 4 * (2 * rows * (rt + hr) * (ct + hc) + 2 * rt * ct) > 12 << 20:
         rt, ct = min(rt, 64), min(ct, 256)
@@ -315,7 +378,9 @@ def imodwt2_fused(c: jax.Array, wavelet: DiscreteWavelet,
     dt = c.dtype if c.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))
-    cp = _circular_pad2_right(c, hr, hc)
+    if (r, cc) != (r0, c0):
+        c = _wrap_pad2(c, r, cc)
+    cp = _circular_pad2_right(c, hr, hc, r0, c0)
     n_i, n_j = r // rt, cc // ct
 
     kernel = functools.partial(_inv2_kernel, g=g, h=h, level=level, hr=hr,
@@ -336,4 +401,5 @@ def imodwt2_fused(c: jax.Array, wavelet: DiscreteWavelet,
         ],
         interpret=interp,
     )(cp.astype(dt))
+    out = out[..., :r0, :c0]
     return out[0] if squeeze else out

@@ -368,13 +368,31 @@ class TestModwt2Fused:
 
     def test_plan_gates(self):
         from jwave_pro_tpu.kernels.modwt2_pallas import pallas2d_supported
-        assert pallas2d_supported(512, 512, 3, 8) is not None
-        assert pallas2d_supported(100, 512, 3, 8) is None   # rows % 8
-        assert pallas2d_supported(512, 200, 3, 8) is None   # cols % 128
+        p = pallas2d_supported(512, 512, 3, 8)
+        assert p is not None and (p.r_pad, p.c_pad) == (512, 512)
+        # r4: non-tileable dims get a padded plan when waste is small…
+        p = pallas2d_supported(100, 512, 3, 8)
+        assert p is not None and p.r_pad == 112 and p.c_pad == 512
+        # …but stay None past the 25% pad-waste bound
+        assert pallas2d_supported(512, 200, 3, 8) is None   # 256/200 > 1.25
         assert pallas2d_supported(64, 128, 4, 8) is None    # halo >= dims
         with np.testing.assert_raises(ValueError):
             jw.modwt2(np.zeros((100, 200), np.float32),
                       jw.wavelet("Daubechies 4"), 2, method="pallas")
+
+    def test_arbitrary_size_parity_and_roundtrip(self, rng):
+        # r4: wrap-pad to the tile grid with TRUE mod-(R0, C0) contexts
+        from jwave_pro_tpu.kernels.modwt2_pallas import (
+            imodwt2_fused, modwt2_fused, pallas2d_supported)
+        w = jw.wavelet("Daubechies 4")
+        p = pallas2d_supported(100, 500, 2, 8)
+        assert p is not None and (p.r_pad, p.c_pad) != (100, 500)
+        x = rng.standard_normal((2, 100, 500)).astype(np.float32)
+        got = np.asarray(modwt2_fused(x, w, 2))
+        want = np.asarray(jw.modwt2(x, w, 2, method="direct"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        rt = np.asarray(imodwt2_fused(jnp.asarray(want, jnp.float32), w))
+        np.testing.assert_allclose(rt, x, atol=1e-4)
 
     def test_symlet8_deeper_level(self, rng):
         from jwave_pro_tpu.kernels.modwt2_pallas import modwt2_fused
