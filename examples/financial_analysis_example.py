@@ -44,6 +44,21 @@ def main():
     level = 8
     w = jw.wavelet("Daubechies 4")
 
+    # --- r4: the FINANCIAL_ROADMAP.md preprocessing chain --------------
+    # dirty prices: gaps (halted sessions), a fat-finger print, and a
+    # volatility regime switch — preprocess_prices gap-fills, winsorizes
+    # (MAD-robust), and devolatizes (causal EWMA) in one jittable call
+    clean_r = np.concatenate([0.01 * rng.standard_normal(n // 2),
+                              0.04 * rng.standard_normal(n // 2)])
+    prices = 100.0 * np.exp(np.cumsum(clean_r))
+    prices[5000:5040] = np.nan                       # a halted session
+    prices[20000] *= 1.5                             # a bad print
+    z, sigma = jw.preprocess_prices(prices)
+    z = np.asarray(z)
+    print("preprocess: gaps filled, outlier winsorized; devolatized std "
+          f"regime1 {np.std(z[1000:n // 2 - 100]):.2f} / regime2 "
+          f"{np.std(z[n // 2 + 1000:]):.2f} (clustering removed ≈ both 1)")
+
     # two co-moving series: y trails x at coarse scales
     x = synth_returns(n, rng, 512.0)
     y = 0.6 * np.roll(x, 16) + 0.8 * synth_returns(n, rng, 64.0)

@@ -71,9 +71,15 @@ from .ops.compress import (  # noqa: F401
     compress_fixed, compress_magnitude, compress_peaks_average,
     compression_rate,
 )
+from .ops.financial import (  # noqa: F401
+    cumulate_returns, ewma_volatility, fill_gaps, log_returns,
+    normalize_volatility, preprocess_prices, realized_volatility,
+    winsorize_outliers,
+)
 from .ops.denoise import (  # noqa: F401
     bayes_threshold, hard_threshold, mad_sigma, modwt2_denoise, modwt_denoise,
-    modwt_denoise_inplace, soft_threshold, sure_threshold,
+    modwt_denoise_inplace, soft_threshold, sure_threshold, wpt2_denoise,
+    wpt_denoise,
     universal_threshold,
 )
 from .wavelets.continuous import (  # noqa: F401

@@ -1,0 +1,191 @@
+"""Market-data preprocessing for wavelet analysis.
+
+The reference's ``docs/FINANCIAL_ROADMAP.md:29-120`` proposes (but never
+implements) a ``FinancialWaveletTransform`` whose forward pass runs a
+preprocessing chain — gap handling, volatility normalization, outlier
+detection — before the MODWT, configured by a ``FinancialConfig`` builder.
+Implemented here as composable pure functions instead of a subclass: each
+stage is jittable, batches over leading axes, and feeds any transform in
+the library (the roadmap hard-wires MODWT; composition is the TPU-native
+shape of the same idea — no preprocessing state to pool or synchronize).
+
+Conventions: prices are ``(..., N)`` with time on the last axis; NaN marks
+a gap (halted session, missing print).  All stages are NaN-safe and emit
+gap-free output, so the chain ``log_returns → fill_gaps →
+winsorize_outliers → normalize_volatility`` yields an array every
+``ops/``-tier transform accepts.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "log_returns", "cumulate_returns", "fill_gaps", "winsorize_outliers",
+    "ewma_volatility", "normalize_volatility", "realized_volatility",
+    "preprocess_prices",
+]
+
+
+def log_returns(prices: jax.Array, scale: float = 1.0) -> jax.Array:
+    """``scale·(ln p[t] − ln p[t−1])`` with r[0] = 0 — length-preserving.
+
+    Length preservation (rather than the textbook N−1) keeps the output
+    shape transform-friendly: every engine in the library takes the same
+    N the prices had.  NaN prices propagate NaN returns at both affected
+    lags (fill with :func:`fill_gaps` afterwards).
+    """
+    p = jnp.asarray(prices)
+    lp = jnp.log(p)
+    r = jnp.diff(lp, axis=-1, prepend=lp[..., :1])
+    return r * scale
+
+
+def cumulate_returns(returns: jax.Array, p0=1.0,
+                     scale: float = 1.0) -> jax.Array:
+    """Inverse of :func:`log_returns`: ``p0·exp(cumsum(r/scale))``.
+
+    Roundtrip identity: ``cumulate_returns(log_returns(p), p[..., :1])``
+    reproduces ``p`` exactly (r[0] = 0 makes the first sample p0).
+    """
+    r = jnp.asarray(returns) / scale
+    return jnp.asarray(p0) * jnp.exp(jnp.cumsum(r, axis=-1))
+
+
+def fill_gaps(x: jax.Array, method: str = "ffill") -> jax.Array:
+    """Replace NaNs: ``'ffill'`` last-observation-carried-forward (a scan;
+    leading NaNs fall back to the first finite value), ``'zero'`` (the
+    right choice for RETURNS — a halted market realizes no return), or
+    ``'mean'`` (per-series finite-sample mean).
+
+    The roadmap's ``handleMarketGaps`` (FINANCIAL_ROADMAP.md:69-74) is a
+    calendar-aware imputer; calendars are host-side data preparation, so
+    the in-graph contract here is mask-based: anything the caller marks
+    NaN is a gap, wherever it came from.
+    """
+    x = jnp.asarray(x)
+    finite = jnp.isfinite(x)
+    if method == "zero":
+        return jnp.where(finite, x, 0.0)
+    if method == "mean":
+        cnt = jnp.maximum(jnp.sum(finite, axis=-1, keepdims=True), 1)
+        mean = jnp.sum(jnp.where(finite, x, 0.0), axis=-1,
+                       keepdims=True) / cnt
+        return jnp.where(finite, x, mean)
+    if method != "ffill":
+        raise ValueError(f"unknown gap method {method!r}")
+
+    def step(carry, v):
+        val, ok = v
+        carry = jnp.where(ok, val, carry)
+        return carry, carry
+
+    # seed with the first finite value so leading NaNs are backfilled
+    idx = jnp.argmax(finite, axis=-1)
+    first = jnp.take_along_axis(x, idx[..., None], axis=-1)[..., 0]
+    first = jnp.where(jnp.isfinite(first), first, 0.0)
+    xm = jnp.moveaxis(x, -1, 0)
+    fm = jnp.moveaxis(finite, -1, 0)
+    _, out = lax.scan(step, first, (xm, fm))
+    return jnp.moveaxis(out, 0, -1)
+
+
+def winsorize_outliers(r: jax.Array, n_sigmas: float = 5.0,
+                       axis: int = -1) -> jax.Array:
+    """Clip returns to ``±n_sigmas·σ`` with σ the robust MAD scale.
+
+    The roadmap's ``detectOutliers`` stage: MAD/0.6745 is immune to the
+    very outliers being clipped (a plain std is not — one bad print
+    inflates it and hides the rest).  Median/MAD are computed over
+    ``axis``; clipping is centered on the median, so a trend in the
+    window is not mistaken for outliers at the edges.
+    """
+    r = jnp.asarray(r)
+    med = jnp.median(r, axis=axis, keepdims=True)
+    sigma = jnp.median(jnp.abs(r - med), axis=axis, keepdims=True) / 0.6745
+    lim = n_sigmas * sigma
+    return jnp.clip(r, med - lim, med + lim)
+
+
+def ewma_volatility(r: jax.Array, lam: float = 0.94,
+                    min_periods: int = 10) -> jax.Array:
+    """RiskMetrics EWMA volatility: ``σ²[t] = λ·σ²[t−1] + (1−λ)·r²[t]``.
+
+    The roadmap's ``VolatilityNormalizer.normalize(data, volModel)``
+    (FINANCIAL_ROADMAP.md:76-79) names GARCH; the λ=0.94 EWMA is the
+    standard zero-fit member of that family (IGARCH(1,1) with fixed
+    parameters) and the only one that needs no per-series optimization —
+    the right default for an in-graph, jit-once pipeline.  A ``lax.scan``
+    over time; the first ``min_periods`` steps blend toward the full-
+    sample σ so the warm-up does not divide by near-zero.
+    """
+    r = jnp.asarray(r)
+    var0 = jnp.mean(r * r, axis=-1)
+
+    def step(v, rt):
+        v = lam * v + (1.0 - lam) * rt * rt
+        return v, v
+
+    _, var = lax.scan(step, var0, jnp.moveaxis(r, -1, 0))
+    var = jnp.moveaxis(var, 0, -1)
+    if min_periods > 0:
+        t = jnp.arange(r.shape[-1], dtype=r.dtype)
+        w = jnp.minimum(t / float(min_periods), 1.0)
+        var = w * var + (1.0 - w) * var0[..., None]
+    return jnp.sqrt(var)
+
+
+def normalize_volatility(r: jax.Array, lam: float = 0.94,
+                         eps: float = 1e-12):
+    """Devolatize returns: ``z[t] = r[t]/σ[t−1]`` (σ lagged one step so
+    the normalizer is strictly causal — r[t] never sees its own shock).
+
+    Returns ``(z, sigma)``; multiply back (``z·σ_lagged``) to restore.
+    Wavelet variance/spectra of ``z`` then measure STRUCTURE (memory,
+    scaling) instead of being dominated by volatility clustering — the
+    reason the roadmap front-loads this before its MODWT.
+    """
+    r = jnp.asarray(r)
+    sigma = ewma_volatility(r, lam)
+    lagged = jnp.concatenate([sigma[..., :1], sigma[..., :-1]], axis=-1)
+    return r / jnp.maximum(lagged, eps), sigma
+
+
+def realized_volatility(r: jax.Array, window: int,
+                        annualize: float | None = None) -> jax.Array:
+    """Rolling realized volatility ``√(Σ_window r²)`` per step (same
+    length; the first ``window−1`` entries use the partial sum).
+    ``annualize``: multiply by ``√annualize`` (e.g. 252 for daily bars).
+    """
+    r = jnp.asarray(r)
+    n = r.shape[-1]
+    c = jnp.cumsum(r * r, axis=-1)
+    width = [(0, 0)] * (r.ndim - 1) + [(window, 0)]
+    shifted = jnp.pad(c, width)[..., :n]     # c delayed by `window`, 0-filled
+    rv = jnp.sqrt(jnp.maximum(c - shifted, 0.0))
+    if annualize is not None:
+        rv = rv * math.sqrt(annualize)
+    return rv
+
+
+def preprocess_prices(prices: jax.Array, gap_method: str = "ffill",
+                      n_sigmas: float = 5.0, devolatize: bool = True,
+                      lam: float = 0.94):
+    """The roadmap's full ``FinancialWaveletTransform`` preprocessing
+    chain (FINANCIAL_ROADMAP.md:47-66) as one call: gap-fill prices →
+    log returns → winsorize outliers → (optionally) devolatize.
+
+    Returns ``(z, sigma)`` ready for any transform in the library
+    (``sigma`` is the EWMA scale, or ones when ``devolatize=False``) —
+    compose with ``modwt``/``modwt_variance``/``ssq_cwt`` instead of
+    subclassing a transform.  Jits; batches.
+    """
+    p = fill_gaps(prices, gap_method)
+    r = log_returns(p)
+    r = winsorize_outliers(r, n_sigmas)
+    if devolatize:
+        return normalize_volatility(r, lam)
+    return r, jnp.ones_like(r)

@@ -126,3 +126,54 @@ def test_modwt2_denoise_batched_and_zero_threshold_identity(rng):
     np.testing.assert_allclose(out, imgs, atol=1e-8)  # PR with no shrink
     with np.testing.assert_raises(ValueError):
         jw.modwt2_denoise(imgs, DB4, 2, threshold="bogus")
+
+
+def test_wpt_denoise_zero_threshold_identity(rng):
+    # threshold=0 → shrinkage is identity → best-basis roundtrip must be PR
+    x = rng.standard_normal((2, 512))
+    out = np.asarray(jw.wpt_denoise(x, DB4, 4, threshold=0.0))
+    np.testing.assert_allclose(out, x, atol=1e-10)
+
+
+def test_wpt_denoise_reduces_mse_and_beats_noise(rng):
+    # two interfering tones + transient: the packet basis isolates the
+    # tonal structure; denoising must cut MSE substantially
+    n = 2048
+    t = np.arange(n)
+    clean = (np.sin(2 * np.pi * 0.11 * t) + np.sin(2 * np.pi * 0.13 * t))
+    clean[700:720] += 3.0
+    noisy = jnp.asarray(clean + 0.6 * rng.standard_normal(n))
+    mse_n = np.mean((np.asarray(noisy) - clean) ** 2)
+    for cost in ("sure", "shannon"):
+        den = np.asarray(jw.wpt_denoise(noisy, DB4, 6, cost=cost,
+                                        mode="hard"))
+        mse_d = np.mean((den - clean) ** 2)
+        assert mse_d < 0.6 * mse_n, (cost, mse_d, mse_n)
+    # the point of the feature: the octave tree CANNOT isolate these tones
+    # (their energy lands in detail bands and gets crushed) — the adaptive
+    # packet basis must beat modwt_denoise by a wide margin here
+    den_wpt = np.asarray(jw.wpt_denoise(noisy, DB4, 6, mode="hard"))
+    den_oct = np.asarray(jw.modwt_denoise(noisy, DB4, 6, mode="hard"))
+    assert (np.mean((den_wpt - clean) ** 2)
+            < 0.33 * np.mean((den_oct - clean) ** 2))
+
+
+def test_wpt_denoise_jits_and_batches(rng):
+    import jax
+    x = jnp.asarray(rng.standard_normal((3, 256)))
+    f = jax.jit(lambda v: jw.wpt_denoise(v, DB4, 3))
+    out = np.asarray(f(x))
+    assert out.shape == x.shape and np.isfinite(out).all()
+
+
+def test_wpt2_denoise_identity_and_improves_image(rng):
+    imgs = rng.standard_normal((2, 32, 32))
+    out = np.asarray(jw.wpt2_denoise(imgs, DB4, 2, threshold=0.0))
+    np.testing.assert_allclose(out, imgs, atol=1e-10)
+    xg, yg = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    clean = np.sin(xg / 6.0) * np.cos(yg / 9.0)
+    noisy = clean + 0.35 * rng.standard_normal((64, 64))
+    den = np.asarray(jw.wpt2_denoise(noisy, DB4, 3))
+    mse_n = np.mean((noisy - clean) ** 2)
+    mse_d = np.mean((den - clean) ** 2)
+    assert mse_d < 0.5 * mse_n, (mse_d, mse_n)

@@ -1,0 +1,96 @@
+"""Market-data preprocessing (ops/financial.py — the reference's
+FINANCIAL_ROADMAP.md:29-120 FinancialWaveletTransform preprocessing chain,
+implemented as composable jittable stages)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import jwave_pro_tpu as jw
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(5)
+
+
+def test_log_returns_roundtrip(rng):
+    p = np.exp(np.cumsum(0.01 * rng.standard_normal((3, 256)), axis=-1)) * 50
+    r = jw.log_returns(p)
+    assert r.shape == p.shape and float(jnp.max(jnp.abs(r[..., 0]))) == 0.0
+    back = np.asarray(jw.cumulate_returns(r, p[..., :1]))
+    np.testing.assert_allclose(back, p, rtol=1e-12)
+
+
+def test_fill_gaps_all_methods(rng):
+    x = rng.standard_normal(64)
+    x[[0, 1, 10, 11, 12, 63]] = np.nan
+    f = np.asarray(jw.fill_gaps(x, "ffill"))
+    assert np.isfinite(f).all()
+    # leading NaNs backfilled with first finite value, interior carried fwd
+    assert f[0] == f[1] == x[2]
+    assert f[10] == f[11] == f[12] == x[9]
+    assert f[63] == x[62]
+    z = np.asarray(jw.fill_gaps(x, "zero"))
+    assert (z[[0, 1, 10]] == 0).all() and z[2] == x[2]
+    m = np.asarray(jw.fill_gaps(x, "mean"))
+    np.testing.assert_allclose(m[0], np.nanmean(x))
+    with np.testing.assert_raises(ValueError):
+        jw.fill_gaps(x, "bogus")
+
+
+def test_winsorize_is_robust_to_the_outlier_itself(rng):
+    r = 0.01 * rng.standard_normal(512)
+    r[100] = 5.0  # a fat-finger print
+    w = np.asarray(jw.winsorize_outliers(r, n_sigmas=5.0))
+    assert abs(w[100]) < 0.2            # clipped near 5 sigma of the MAD
+    # everything ordinary is untouched
+    mask = np.ones(512, bool); mask[100] = False
+    np.testing.assert_allclose(w[mask], r[mask])
+    # a std-based clip would have been inflated by the outlier: check the
+    # MAD scale used is close to the clean sigma
+    assert abs(w[100]) < 10 * 0.01 * 5
+
+
+def test_ewma_volatility_tracks_regimes(rng):
+    r = np.concatenate([0.01 * rng.standard_normal(500),
+                        0.05 * rng.standard_normal(500)])
+    sig = np.asarray(jw.ewma_volatility(r))
+    assert 0.005 < sig[400] < 0.02
+    assert 0.03 < sig[-1] < 0.08
+
+
+def test_normalize_volatility_causal_and_unit_scale(rng):
+    r = np.concatenate([0.01 * rng.standard_normal(800),
+                        0.05 * rng.standard_normal(800)])
+    z, sig = jw.normalize_volatility(r)
+    z = np.asarray(z)
+    # devolatized series has ~unit scale in BOTH regimes
+    assert 0.6 < np.std(z[200:780]) < 1.7
+    assert 0.6 < np.std(z[900:]) < 1.7
+    # causality: z[t] = r[t]/sigma[t-1]
+    np.testing.assert_allclose(z[1:] * np.asarray(sig)[:-1], r[1:],
+                               rtol=1e-10)
+
+
+def test_realized_volatility_window_sum(rng):
+    r = rng.standard_normal((2, 128))
+    rv = np.asarray(jw.realized_volatility(r, 16))
+    want = np.sqrt(np.sum(r[:, 48:64] ** 2, axis=-1))
+    np.testing.assert_allclose(rv[:, 63], want, rtol=1e-6)
+    ann = np.asarray(jw.realized_volatility(r, 16, annualize=252.0))
+    np.testing.assert_allclose(ann, rv * np.sqrt(252.0), rtol=1e-6)
+
+
+def test_preprocess_chain_jits_and_feeds_transforms(rng):
+    p = np.exp(np.cumsum(0.01 * rng.standard_normal((2, 1024)), axis=-1))
+    p[0, 100:110] = np.nan
+    p[1, 500] = p[1, 499] * 3.0  # an outlier jump
+    z, sig = jax.jit(jw.preprocess_prices)(jnp.asarray(p))
+    z = np.asarray(z)
+    assert np.isfinite(z).all() and np.isfinite(np.asarray(sig)).all()
+    # the output feeds the analysis tier directly
+    w = jw.wavelet("Daubechies 4")
+    nu2 = np.asarray(jw.modwt_variance(jnp.asarray(z), w, 4))
+    assert np.isfinite(nu2).all() and (nu2 > 0).all()

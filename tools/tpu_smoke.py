@@ -247,6 +247,12 @@ def main():
     err = float(jax.jit(mp_err)(x[:4, :4096]))
     ok &= check("matching pursuit energy + recon identities", err, 1e-3)
 
+    # best-basis denoise (r4): threshold=0 ⇒ the adaptive-basis roundtrip
+    # must reconstruct exactly (basis DP + mixed-level synthesis on chip)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.wpt_denoise(v, w, 4, threshold=0.0) - v)))(x[:4, :4096]))
+    ok &= check("best-basis denoise zero-threshold identity", err, 1e-4)
+
     # 3D MODWT roundtrip on device
     vol = x[:4, :4096].reshape(4, 16, 16, 16)
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
