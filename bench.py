@@ -205,6 +205,17 @@ def bench_wpt(dtype=jnp.float32, batch=64, n=65536, level=6):
     return batch * n / dt
 
 
+def bench_wpt_roundtrip(batch=64, n=65536, level=6):
+    """Full-tree WPT fwd+inv (both directions on the fused full-tree
+    (2*BLK, BLK) constants — the inverse is a single fat matmul pair,
+    unlike the pre-r4 FWT synthesis)."""
+    w = jw.wavelet("Symlet 8")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    jnp.float32)
+    dt = _time_chain(lambda v: jw.iwpt(jw.wpt(v, w, level), w, level), x)
+    return batch * n / dt
+
+
 def bench_cwt(dtype=jnp.float32, batch=16, n=4096, n_scales=64,
               wavelet=None):
     wav = wavelet if wavelet is not None else jw.MorletWavelet()
@@ -439,6 +450,7 @@ def main():
         run("dtcwt_roundtrip", bench_dtcwt_roundtrip)
         run("fwt2_db4_1024", bench_fwt2d)
         run("wpt_sym8_L6", bench_wpt)
+        run("wpt_roundtrip", bench_wpt_roundtrip)
         run("modwpt_db4_L3", bench_modwpt)
         run("modwpt_arbN_100003", lambda: bench_modwpt(n=100003))
         run("modwpt_bf16", lambda: bench_modwpt(dtype=jnp.bfloat16))

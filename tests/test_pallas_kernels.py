@@ -601,3 +601,51 @@ class TestBf16Tier:
         assert c.dtype == jnp.bfloat16
         xr = jw.imodwt2(c, w)
         assert xr.dtype == jnp.bfloat16
+
+
+class TestPaddedDispatchSweep:
+    """r4: padded arbitrary-shape plans across the kernel family — shapes
+    beyond the headline cases (longer filters, odd batches, both-odd 2D
+    dims, bf16 x pad interplay), all vs the f64 direct oracles."""
+
+    @pytest.mark.parametrize("batch,n,level,wname", [
+        (3, 7777, 2, "Daubechies 4"),
+        (8, 3000, 2, "Symlet 8"),
+    ])
+    def test_modwpt_padded_sweep(self, batch, n, level, wname, rng):
+        from jwave_pro_tpu.kernels.modwpt_pallas import (
+            modwpt_fused, pallas_supported)
+        w = jw.wavelet(wname)
+        plan = pallas_supported(batch, n, level, w.length)
+        assert plan is not None and plan.n_pad > n
+        x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+        got = np.asarray(modwpt_fused(x, w, level, interpret=True))
+        want = np.asarray(jw.modwpt(np.asarray(x, np.float64), w, level,
+                                    method="direct"))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_modwt2_padded_sym8_both_dims_odd(self, rng):
+        from jwave_pro_tpu.kernels.modwt2_pallas import (
+            imodwt2_fused, modwt2_fused, pallas2d_supported)
+        w = jw.wavelet("Symlet 8")
+        p = pallas2d_supported(72, 520, 2, w.length)
+        assert p is not None and (p.r_pad, p.c_pad) != (72, 520)
+        x = rng.standard_normal((2, 72, 520)).astype(np.float32)
+        got = np.asarray(modwt2_fused(x, w, 2))
+        want = np.asarray(jw.modwt2(x, w, 2, method="direct"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        rt = np.asarray(imodwt2_fused(jnp.asarray(want, jnp.float32), w))
+        np.testing.assert_allclose(rt, x, atol=1e-4)
+
+    def test_modwt_bf16_with_pad(self, rng):
+        # the bf16 I/O tier and the padded dispatch share the same DMA
+        # machinery — pin their composition
+        from jwave_pro_tpu.kernels.modwt_pallas import (
+            modwt_fused, pallas_supported)
+        plan = pallas_supported(8, 2000, 3, DB4.length)
+        assert plan is not None and plan.n_pad > 2000
+        x32 = jnp.asarray(rng.standard_normal((8, 2000)), jnp.float32)
+        got = np.asarray(modwt_fused(x32.astype(jnp.bfloat16), DB4, 3,
+                                     interpret=True).astype(jnp.float32))
+        want = np.asarray(modwt_fused(x32, DB4, 3, interpret=True))
+        assert np.max(np.abs(got - want)) < 5e-2
