@@ -59,6 +59,15 @@ def main():
           f"regime1 {np.std(z[1000:n // 2 - 100]):.2f} / regime2 "
           f"{np.std(z[n // 2 + 1000:]):.2f} (clustering removed ≈ both 1)")
 
+    # where did the volatility regime switch?  NCSS change-point test on
+    # the RAW (un-devolatized) returns localizes it per scale
+    raw_r = jw.winsorize_outliers(jw.log_returns(jw.fill_gaps(prices)))
+    cp = jw.modwt_changepoints(raw_r, w, 5)
+    fired = [f"j={j + 1}@t={int(np.asarray(cp.locations)[j])}"
+             for j in range(5) if bool(np.asarray(cp.significant)[j])]
+    print(f"variance change points (true break t={n // 2}): "
+          + (", ".join(fired) if fired else "none"))
+
     # two co-moving series: y trails x at coarse scales
     x = synth_returns(n, rng, 512.0)
     y = 0.6 * np.roll(x, 16) + 0.8 * synth_returns(n, rng, 64.0)

@@ -54,7 +54,8 @@ from .ops.scattering2d import (  # noqa: F401
 )
 from .ops.fft import fft, ifft  # noqa: F401
 from .ops.analysis import (  # noqa: F401
-    VarianceCI, WTCResult, envelope, hilbert, instantaneous_frequency,
+    ChangePoints, VarianceCI, WTCResult, envelope, hilbert,
+    instantaneous_frequency, modwt_changepoints,
     modwt_correlation, modwt_covariance, modwt_cross_correlation,
     modwt_hurst, modwt_variance, modwt_variance_ci, scale_energies,
     wavelet_coherence,

@@ -94,3 +94,33 @@ def test_preprocess_chain_jits_and_feeds_transforms(rng):
     w = jw.wavelet("Daubechies 4")
     nu2 = np.asarray(jw.modwt_variance(jnp.asarray(z), w, 4))
     assert np.isfinite(nu2).all() and (nu2 > 0).all()
+
+
+def test_modwt_changepoints_detects_variance_break(rng):
+    w = jw.wavelet("Daubechies 4")
+    n = 4096
+    r = np.concatenate([0.01 * rng.standard_normal(n // 2),
+                        0.05 * rng.standard_normal(n // 2)])
+    cp = jw.modwt_changepoints(jnp.asarray(r), w, 5)
+    sig = np.asarray(cp.significant)
+    loc = np.asarray(cp.locations)
+    # a 5x global volatility switch fires at (at least) the fine scales,
+    # localized near the true break
+    assert sig[:3].all(), np.asarray(cp.d)
+    assert (np.abs(loc[:3] - n // 2) < n // 10).all(), loc
+    # homogeneous noise: no scale fires (asymptotic 5% per scale — use a
+    # fixed seed known-good draw)
+    r0 = 0.01 * np.random.default_rng(11).standard_normal(n)
+    cp0 = jw.modwt_changepoints(jnp.asarray(r0), w, 5)
+    assert not np.asarray(cp0.significant).any(), np.asarray(cp0.d)
+
+
+def test_modwt_changepoints_batched_jit(rng):
+    import jax
+    w = jw.wavelet("Haar")
+    x = jnp.asarray(rng.standard_normal((3, 1024)))
+    cp = jax.jit(lambda v: jw.modwt_changepoints(v, w, 4))(x)
+    assert cp.d.shape == (4, 3) and cp.locations.shape == (4, 3)
+    assert cp.critical.shape == (4,)
+    with np.testing.assert_raises(ValueError):
+        jw.modwt_changepoints(x, w, 4, alpha=0.07)
