@@ -593,3 +593,50 @@ def test_batch_sharded_adaptive_ops_zero_collectives(rng):
     want = np.asarray(jw.matching_pursuit(np.asarray(x), DB4, 2, 4,
                                           method="direct").residual)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@needs8
+def test_batch_sharded_financial_and_bestbasis_zero_collectives(rng):
+    """r4 additions stay data-parallel: the financial preprocessing chain
+    (scans along TIME, batch-dim partitionable) and best-basis denoising
+    shard over batch with ZERO collectives.
+
+    wpt_denoise picks ONE basis per call (costs summed over the batch), so
+    under data sharding each device's shard must run the SAME basis — we
+    shard_map it so every device selects over its local elements (the
+    per-shard basis may differ; parity is vs per-shard local calls)."""
+    from jwave_pro_tpu.parallel import NamedSharding, P, make_mesh
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    mesh = make_mesh({"data": 8})
+    p = np.exp(np.cumsum(
+        0.01 * rng.standard_normal((8, 256)), axis=-1)).astype(np.float32)
+    p[0, 40:50] = np.nan
+    x = jax.device_put(jnp.asarray(p),
+                       NamedSharding(mesh, P("data", None)))
+
+    fn_fin = jax.jit(lambda v: jw.preprocess_prices(v)[0])
+    hlo = fn_fin.lower(x).compile().as_text()
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, f"collectives in batch-sharded preprocess: {found}"
+    np.testing.assert_allclose(np.asarray(fn_fin(x)),
+                               np.asarray(jw.preprocess_prices(p)[0]),
+                               atol=1e-5)
+
+    fn_cp = jax.jit(lambda v: jw.modwt_changepoints(v, DB4, 3).d)
+    hlo = fn_cp.lower(x).compile().as_text()
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, f"collectives in batch-sharded changepoints: {found}"
+
+    fn_bb = jax.jit(shard_map(
+        lambda v: jw.wpt_denoise(v, DB4, 3, mode="hard"), mesh=mesh,
+        in_specs=P("data", None), out_specs=P("data", None)))
+    hlo = fn_bb.lower(x).compile().as_text()
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, f"collectives in batch-sharded wpt_denoise: {found}"
+    got = np.asarray(fn_bb(x))
+    want = np.stack([np.asarray(jw.wpt_denoise(p[i], DB4, 3, mode="hard"))
+                     for i in range(8)])
+    np.testing.assert_allclose(got, want, atol=1e-5)
