@@ -143,32 +143,17 @@ trace_counts: collections.Counter = collections.Counter()
 def _causal_tail(window, s, wavelet: DiscreteWavelet, level: int):
     """Coefficients for the last ``s`` positions of ``window``.
 
-    Uses the causal form: W_j[t] = Σ_k h_j[k]·x[t − k·d] with zero padding
-    on the left edge of the available context (positions < halo of the
-    rolled copies wrap garbage, but those columns are dropped by the final
-    slice).
+    Every emitted column t ∈ [halo, halo+s) looks back at most ``halo``
+    samples — always inside the window — so the CIRCULAR transform of the
+    window agrees with the causal form on exactly those columns, and the
+    tail can ride the full ``modwt`` auto dispatch (r4: the fused TPU
+    kernel's padded arbitrary-N plans admit the halo+chunk widths
+    streaming produces; measured 2.2 → 5.3 G samples/s incremental).
+    Columns < halo differ (circular wrap vs zero pad) and are dropped by
+    the slice either way.
     """
-    g64, h64 = modwt_base_filters(wavelet)
-    x = window  # (..., halo + s)
-    ctx = x.shape[-1]
-    rows = []
-    v = x
-    for j in range(1, level + 1):
-        d = 1 << (j - 1)
-        m = g64.shape[0]
-        gk = jnp.asarray(g64, dtype=x.dtype)
-        hk = jnp.asarray(h64, dtype=x.dtype)
-        acc_v = acc_w = None
-        for k in range(m):
-            shifted = jnp.roll(v, k * d)
-            tv = gk[k] * shifted
-            tw = hk[k] * shifted
-            acc_v = tv if acc_v is None else acc_v + tv
-            acc_w = tw if acc_w is None else acc_w + tw
-        rows.append(acc_w)
-        v = acc_v
-    rows.append(v)
-    return jnp.stack(rows)[..., ctx - s:]
+    ctx = window.shape[-1]
+    return _modwt(window, wavelet, level, method="auto")[..., ctx - s:]
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "level", "halo"))
