@@ -45,7 +45,8 @@ from .modwt_pallas import (
     _fold_tails, _pad_circular, _pick_interpret, _pick_sublanes,
 )
 
-__all__ = ["modwpt_fused", "imodwpt_fused", "pallas_supported"]
+__all__ = ["modwpt_fused", "imodwpt_fused", "pallas_supported",
+           "modwpt_select_fused", "select_fused_supported"]
 
 VMEM_BUDGET = 13 * 2 ** 20   # leave headroom under the 16 MB scoped limit
 
@@ -271,6 +272,175 @@ def _modwpt_fused_impl(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     if fold > 1:
         out = out.reshape(num_nodes, b, n)
     return out[..., :n0]
+
+
+# ---------------------------------------------------------------------------
+# Fused correlation-argmax (matching pursuit's select stage)
+# ---------------------------------------------------------------------------
+
+def _select_kernel(x_hbm, tails_hbm, val_ref, sval_ref, gid_ref, bufs,
+                   sems_m, sems_h, *, g, h, level, halo, tile, sublanes):
+    """Forward cascade + in-kernel per-node running argmax.
+
+    MP's select needs only (max |W_node|, its position, its signed value)
+    per node — never the (2^level, B, N) coefficient block, whose 2^level×
+    output expansion dominates the forward kernel's HBM traffic.  Each
+    node's tile reduces to a 128-lane slot vector (slot ℓ = best over tile
+    positions ≡ ℓ mod 128) that accumulates across the row's tiles in the
+    VMEM-resident output block (index maps ignore j — the variance
+    kernel's reduction pattern); the host finishes with one tiny argmax
+    over the 128 slots.  Three outputs: best |w| (f32), its signed value
+    (f32), its global 128-group index (i32; position = gid·128 + slot).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    m = len(g)
+    step = i * nj + j
+    slot = step % 2
+
+    def dmas(sl, ii, jj):
+        rows = pl.ds(ii * sublanes, sublanes)
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[rows, pl.ds(jj * tile, tile)],
+                bufs.at[sl, :, pl.ds(halo, tile)], sems_m.at[sl]),
+            pltpu.make_async_copy(
+                tails_hbm.at[jj, rows],
+                bufs.at[sl, :, pl.ds(0, halo)], sems_h.at[sl]),
+        )
+
+    def start(sl, ii, jj):
+        for d in dmas(sl, ii, jj):
+            d.start()
+
+    @pl.when(step == 0)
+    def _():
+        start(slot, i, j)
+
+    last_j = j == nj - 1
+    nxt_i = jnp.where(last_j, i + 1, i)
+    nxt_j = jnp.where(last_j, 0, j + 1)
+
+    @pl.when(step + 1 < ni * nj)
+    def _():
+        start((step + 1) % 2, nxt_i, nxt_j)
+
+    for d in dmas(slot, i, j):
+        d.wait()
+    nodes = [_f32(bufs[slot])]
+    for lvl in range(1, level + 1):
+        d = 1 << (lvl - 1)
+        new = []
+        for parent in nodes:
+            v_acc = None
+            w_acc = None
+            for k in range(m):
+                seg = pltpu.roll(parent, k * d, 1) if k else parent
+                v_acc = g[k] * seg if v_acc is None else v_acc + g[k] * seg
+                w_acc = h[k] * seg if w_acc is None else w_acc + h[k] * seg
+            new.append(v_acc)
+            new.append(w_acc)
+        nodes = [new[p] for p in _seq_perm(len(new))]
+
+    groups = tile // 128
+    for idx, node in enumerate(nodes):
+        w = node[:, halo:]                            # (S, tile)
+        ba = bs = bg = None
+        for p in range(groups):
+            seg = w[:, p * 128:(p + 1) * 128]
+            a = jnp.abs(seg)
+            gid = jnp.full(a.shape, j * groups + p, jnp.int32)
+            if ba is None:
+                ba, bs, bg = a, seg, gid
+            else:
+                upd = a > ba
+                ba = jnp.where(upd, a, ba)
+                bs = jnp.where(upd, seg, bs)
+                bg = jnp.where(upd, gid, bg)
+
+        @pl.when(j == 0)
+        def _(idx=idx, ba=ba, bs=bs, bg=bg):
+            val_ref[idx] = ba
+            sval_ref[idx] = bs
+            gid_ref[idx] = bg
+
+        @pl.when(j > 0)
+        def _(idx=idx, ba=ba, bs=bs, bg=bg):
+            cur = val_ref[idx]
+            upd = ba > cur
+            val_ref[idx] = jnp.where(upd, ba, cur)
+            sval_ref[idx] = jnp.where(upd, bs, sval_ref[idx])
+            gid_ref[idx] = jnp.where(upd, bg, gid_ref[idx])
+
+
+def select_fused_supported(batch: int, n: int, level: int, m: int):
+    """Plan for :func:`modwpt_select_fused` — fold-1 exact tilings only
+    (a fold splits one signal across rows, and a pad region would win the
+    argmax with a duplicated position; both fall back to the coefficient
+    kernel + XLA argmax)."""
+    plan = pallas_supported(batch, n, level, m)
+    if plan is None or plan.fold != 1 or plan.n_pad != n:
+        return None
+    return plan
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "level", "tile",
+                                             "interpret"))
+def modwpt_select_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+                        tile: int = DEFAULT_TILE,
+                        interpret: bool | None = None):
+    """Per-node best correlation of x (B, N): returns ``(absmax, shift,
+    value)`` each ``(2^level, B)`` — |W| max, its time index, its signed
+    coefficient.  Semantics ≡ the argmax over :func:`modwpt_fused`'s
+    output, without materializing it (measured: the MP select step drops
+    ~2× in HBM traffic).  Requires :func:`select_fused_supported`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n = x.shape
+    _check_level(n, level)
+    g64, h64 = modwt_base_filters(wavelet)
+    m = int(g64.shape[0])
+    sup = select_fused_supported(b, n, level, m)
+    if sup is None:
+        raise ValueError(f"unsupported shape {x.shape} for fused select")
+    sublanes, tile, _, _ = sup
+    halo = _aligned_halo(m, level)
+    g = tuple(np.asarray(g64, dtype=np.float32))
+    h = tuple(np.asarray(h64, dtype=np.float32))
+    xr, tails = _fold_tails(x, 1, halo, tile)
+    num_nodes = 1 << level
+
+    kernel = functools.partial(_select_kernel, g=g, h=h, level=level,
+                               halo=halo, tile=tile, sublanes=sublanes)
+    blk = pl.BlockSpec((num_nodes, sublanes, 128), lambda i, j: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    val, sval, gid = pl.pallas_call(
+        kernel,
+        grid=(b // sublanes, n // tile),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[blk, blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((num_nodes, b, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((num_nodes, b, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((num_nodes, b, 128), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, sublanes, halo + tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_pick_interpret(interpret),
+    )(_f32(xr), _f32(tails))
+    lane = jnp.argmax(val, axis=-1)                      # (2^L, B)
+    take = lambda a: jnp.take_along_axis(a, lane[..., None], axis=-1)[..., 0]
+    shift = take(gid) * 128 + lane.astype(jnp.int32)
+    return take(val), shift, take(sval)
 
 
 # ---------------------------------------------------------------------------

@@ -232,13 +232,33 @@ def matching_pursuit(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     spectral = (tuple(map(jnp.asarray, _spectral_tables(wavelet, level, n)))
                 if _use_spectral_roll(n) else False)
 
+    # r4: the select stage can run as ONE fused kernel emitting only the
+    # per-node (max |W|, position, signed value) — the coefficient block's
+    # 2^L× output expansion (the forward kernel's dominant HBM traffic)
+    # never materializes.  TPU, 2D input, fold-1 exact-tile plans only.
+    use_fused_select = False
+    if method == "auto" and x.ndim == 2 and jax.default_backend() == "tpu":
+        from ..kernels.modwpt_pallas import (
+            modwpt_select_fused, select_fused_supported)
+        use_fused_select = select_fused_supported(
+            x.shape[0], n, level, wavelet.length) is not None
+
     def select(r):
         """Best (node, shift, correlation) per batch element.
 
-        Two-stage argmax on the native (2^L, ..., N) layout — per-node best
-        shift, then best node — so the 2^L·N coefficient block is never
-        transposed (the moveaxis alternative materializes it twice).
+        Fused path: kernel emits (2^L, B) reductions directly.  Fallback:
+        two-stage argmax on the native (2^L, ..., N) layout — per-node
+        best shift, then best node — so the 2^L·N coefficient block is
+        never transposed (the moveaxis alternative materializes it twice).
         """
+        if use_fused_select:
+            absv, t_all, v_all = modwpt_select_fused(r, wavelet, level)
+            a = absv * inv_norms[:, None]                      # (2^L, B)
+            node = jnp.argmax(a, axis=0).astype(jnp.int32)     # (B,)
+            t = jnp.take_along_axis(t_all, node[None], axis=0)[0]
+            v = jnp.take_along_axis(v_all, node[None], axis=0)[0]
+            amp = v * jnp.take(inv_norms, node)
+            return node, t.astype(jnp.int32), amp.astype(r.dtype)
         w = modwpt(r, wavelet, level, method=method) * inv_b
         a = jnp.abs(w)
         t_per = jnp.argmax(a, axis=-1).astype(jnp.int32)        # (2^L, ...)

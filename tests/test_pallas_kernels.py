@@ -649,3 +649,28 @@ class TestPaddedDispatchSweep:
                                      interpret=True).astype(jnp.float32))
         want = np.asarray(modwt_fused(x32, DB4, 3, interpret=True))
         assert np.max(np.abs(got - want)) < 5e-2
+
+
+class TestSelectFused:
+    """Fused correlation-argmax kernel (MP's select stage, r4)."""
+
+    @pytest.mark.parametrize("batch,n,level", [(8, 2048, 3), (16, 4096, 2)])
+    def test_matches_argmax_over_coefficients(self, batch, n, level, rng):
+        from jwave_pro_tpu.kernels.modwpt_pallas import (
+            modwpt_fused, modwpt_select_fused, select_fused_supported)
+        assert select_fused_supported(batch, n, level, DB4.length)
+        x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+        val, t, sv = modwpt_select_fused(x, DB4, level, interpret=True)
+        c = np.asarray(modwpt_fused(x, DB4, level, interpret=True))
+        want_t = np.argmax(np.abs(c), axis=-1)
+        want_v = np.take_along_axis(c, want_t[..., None], axis=-1)[..., 0]
+        np.testing.assert_array_equal(np.asarray(t), want_t)
+        np.testing.assert_array_equal(np.asarray(sv), want_v)
+        np.testing.assert_array_equal(np.asarray(val), np.abs(want_v))
+
+    def test_gates(self):
+        from jwave_pro_tpu.kernels.modwpt_pallas import (
+            select_fused_supported)
+        assert select_fused_supported(8, 2048, 3, 8) is not None
+        assert select_fused_supported(1, 16384, 3, 8) is None   # fold
+        assert select_fused_supported(8, 5000, 3, 8) is None    # pad
