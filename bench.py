@@ -439,8 +439,10 @@ def main():
         run("fwt3_db4_128", bench_fwt3d)
         run("modwt3_db4_64", bench_modwt3d)
         run("variance_fused", bench_variance)
+        run("variance_arbN_100003", lambda: bench_variance(n=100003))
         run("variance_bf16", lambda: bench_variance(dtype=jnp.bfloat16))
         run("denoise_fused", bench_denoise)
+        run("denoise_arbN_100003", lambda: bench_denoise(n=100003))
         run("denoise_bf16", lambda: bench_denoise(dtype=jnp.bfloat16))
         run("denoise_xla", lambda: bench_denoise(method="auto"))
         run("modwt_xla_direct", lambda: bench_modwt(method="direct"))

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from ..wavelets.base import DiscreteWavelet
 from ..ops.modwt import _check_level, modwt_base_filters
 from .modwt_pallas import (
-    _aligned_halo, _f32, _pick_interpret, pallas_supported,
+    _aligned_halo, _circ_take, _f32, _pad_circular, _pick_interpret,
+    pallas_supported,
 )
 
 __all__ = ["modwt_denoise_fused", "denoise_fused_supported"]
@@ -47,13 +48,16 @@ __all__ = ["modwt_denoise_fused", "denoise_fused_supported"]
 
 def denoise_fused_supported(batch: int, n: int, level: int, m: int):
     """Same plan space as the transform kernels, but the window needs
-    2·halo of context inside one tile: require halo < tile//2."""
+    2·halo of context inside one tile: require halo < tile//2.
+
+    Padded (arbitrary-N) plans are supported (r4.1): the wrap-padded
+    array with mod-N0 edge contexts IS a slice of the signal's infinite
+    circular extension, so every output column in [0, N0) sees true
+    values within halo on BOTH sides and the sliced reconstruction is
+    exact — same argument as the transform kernels, applied to the
+    two-sided window."""
     plan = pallas_supported(batch, n, level, m)
-    if plan is None or plan.n_pad != n:
-        # padded plans write duplicated lanes; the denoised reconstruction
-        # slices cleanly, but the in-kernel threshold application is fine —
-        # the blocker is the (S, tile) output block layout assuming the
-        # full grid is valid.  Arbitrary N stays on the two-kernel path.
+    if plan is None:
         return None
     sublanes, tile, fold, _ = plan
     if _aligned_halo(m, level) * 2 >= tile:
@@ -198,13 +202,27 @@ def modwt_denoise_fused(x: jax.Array, threshold: jax.Array,
     plan = denoise_fused_supported(b, n, level, m)
     if plan is None:
         raise ValueError(f"unsupported shape {x.shape} for fused denoise")
-    sublanes, tile, fold, _ = plan
+    sublanes, tile, fold, n_pad = plan
     halo = _aligned_halo(m, level)
     dt = x.dtype
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))
+    n0, pad = n, n_pad - n
+    n = n_pad
     rows, nloc = b * fold, n // fold
+    x_orig = x
+    if pad:
+        x = _pad_circular(x, pad)
     xr, tails, heads = _signal_context(x, fold, halo, tile)
+    if pad:
+        # mod-N0 wrap contexts at the grid edges (cf. the transform
+        # kernels' padded dispatch): left wrap = the ORIGINAL tail; right
+        # wrap = circular position N_pad mod N0 = pad
+        nj = nloc // tile
+        tails = tails.at[0, ::fold].set(
+            _circ_take(x_orig, n0 - halo, halo).astype(tails.dtype))
+        heads = heads.at[nj - 1, fold - 1::fold].set(
+            _circ_take(x_orig, pad, halo).astype(heads.dtype))
     # (rows, 128) broadcast block so per-row thresholds ride a VMEM BlockSpec
     thr = jnp.broadcast_to(
         jnp.asarray(threshold, jnp.float32).reshape(b, 1), (b, fold * 128)
@@ -234,4 +252,4 @@ def modwt_denoise_fused(x: jax.Array, threshold: jax.Array,
     )(xr, tails, heads, thr)
     if fold > 1:
         out = out.reshape(b, n)
-    return out
+    return out[..., :n0]

@@ -31,32 +31,62 @@ import jax.numpy as jnp
 from ..wavelets.base import DiscreteWavelet
 from ..ops.modwt import _check_level, modwt_base_filters
 from .modwt_pallas import (
-    _aligned_halo, _f32, _fold_tails, _pick_interpret, pallas_supported,
+    _aligned_halo, _circ_take, _f32, _fold_tails, _pad_circular,
+    _pick_interpret, pallas_supported,
 )
 
 __all__ = ["modwt_var_fused", "var_fused_supported"]
 
 
 def var_fused_supported(batch: int, n: int, level: int, m: int):
+    """Padded (arbitrary-N) plans are supported at fold=1 (r4.1): the
+    wrap-pad region would double-count duplicated coefficients, so the
+    kernel masks lanes at signal positions ≥ N0 out of the Σw²
+    accumulator (a per-128-group compare against a broadcast iota —
+    folded plans would need per-sublane position arithmetic and stay on
+    the two-step path)."""
     plan = pallas_supported(batch, n, level, m)
-    if plan is None or plan.n_pad != n:
-        # padded plans duplicate lanes; the in-kernel Σx² accumulator has no
-        # mask for them, so arbitrary N stays on the two-step path.
+    if plan is not None and (plan.n_pad == n or plan.fold == 1):
+        return plan
+    # the generic search prefers 16-sublane folded pads; re-search fold-1
+    from .modwt_pallas import DEFAULT_TILE, Plan, _pick_sublanes
+    sub = _pick_sublanes(batch)
+    if sub is None:
         return None
-    return plan
+    halo = _aligned_halo(m, level)
+    t = DEFAULT_TILE
+    best = None
+    while t >= 512:
+        if halo < t:
+            n_pad = -(-n // t) * t
+            if n_pad * 4 <= n * 5 and best is None:
+                best = Plan(sub, t, 1, n_pad)
+        t //= 2
+    return best
 
 
-def _lane_partial(val, tile):
-    """(S, tile) → (S, 128) partial sums (128-lane groups stay vectorized)."""
+def _lane_partial(val, tile, j=None, n0=None):
+    """(S, tile) → (S, 128) partial sums (128-lane groups stay vectorized).
+
+    ``n0`` set → lanes at global signal position ≥ n0 (the wrap-pad
+    region of a padded fold-1 plan) are zeroed before accumulating."""
     acc = None
+    lane = None
+    if n0 is not None:
+        lane = jax.lax.broadcasted_iota(jnp.int32,
+                                        val.shape[:-1] + (128,),
+                                        val.ndim - 1)
     for p in range(tile // 128):
         seg = val[:, p * 128:(p + 1) * 128]
+        if n0 is not None:
+            pos = j * tile + p * 128 + lane
+            seg = jnp.where(pos < n0, seg, 0.0)
         acc = seg if acc is None else acc + seg
     return acc
 
 
 def _var_kernel(x_hbm, tails_hbm, out_ref, bufs, sems_m, sems_h, *, g, h,
-                level, halo, tile, sublanes):
+                level, halo, tile, sublanes, n0=None):
     """One grid step: window (S, halo+tile) → accumulate (L+1, S, 128)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -108,10 +138,10 @@ def _var_kernel(x_hbm, tails_hbm, out_ref, bufs, sems_m, sems_h, *, g, h,
             w_acc = h[k] * seg if w_acc is None else w_acc + h[k] * seg
             v_acc = g[k] * seg if v_acc is None else v_acc + g[k] * seg
         w_valid = w_acc[:, halo:]
-        partials.append(_lane_partial(w_valid * w_valid, tile))
+        partials.append(_lane_partial(w_valid * w_valid, tile, j, n0))
         v = v_acc
     v_valid = v[:, halo:]
-    partials.append(_lane_partial(v_valid * v_valid, tile))
+    partials.append(_lane_partial(v_valid * v_valid, tile, j, n0))
 
     @pl.when(j == 0)
     def _():
@@ -142,21 +172,30 @@ def modwt_var_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     _check_level(n, level)
     g64, h64 = modwt_base_filters(wavelet)
     m = int(g64.shape[0])
-    plan = pallas_supported(b, n, level, m, tile)
-    if plan is None or plan.n_pad != n:
+    plan = var_fused_supported(b, n, level, m)
+    if plan is None:
         raise ValueError(f"unsupported shape {x.shape} for fused variance")
-    sublanes, tile, fold, _ = plan
+    sublanes, tile, fold, n_pad = plan
     halo = _aligned_halo(m, level)
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))
+    n0, pad = n, n_pad - n
+    n = n_pad
     rows, nloc = b * fold, n // fold
+    x_orig = x
+    if pad:
+        x = _pad_circular(x, pad)
     xr, tails = _fold_tails(x, fold, halo, tile)
+    if pad:
+        tails = tails.at[0, ::fold].set(
+            _circ_take(x_orig, n0 - halo, halo).astype(tails.dtype))
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     kernel = functools.partial(_var_kernel, g=g, h=h, level=level,
-                               halo=halo, tile=tile, sublanes=sublanes)
+                               halo=halo, tile=tile, sublanes=sublanes,
+                               n0=n0 if pad else None)
     out = pl.pallas_call(
         kernel,
         grid=(rows // sublanes, nloc // tile),
@@ -173,5 +212,5 @@ def modwt_var_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
         ],
         interpret=_pick_interpret(interpret),
     )(xr, tails)
-    sums = out.reshape(level + 1, b, fold * 128).sum(axis=-1) / n
+    sums = out.reshape(level + 1, b, fold * 128).sum(axis=-1) / n0
     return sums[:, 0] if squeeze else sums

@@ -674,3 +674,37 @@ class TestSelectFused:
         assert select_fused_supported(8, 2048, 3, 8) is not None
         assert select_fused_supported(1, 16384, 3, 8) is None   # fold
         assert select_fused_supported(8, 5000, 3, 8) is None    # pad
+
+
+class TestPaddedSinglePass:
+    """r4.1: padded plans for the single-pass denoise/variance kernels —
+    denoise via the two-sided mod-N0 context fix, variance via an
+    in-kernel position mask on the Σw² accumulator (fold-1)."""
+
+    @pytest.mark.parametrize("batch,n,level", [(8, 2000, 3), (8, 6250, 4)])
+    def test_denoise_padded(self, batch, n, level, rng):
+        from jwave_pro_tpu.kernels.denoise_pallas import (
+            denoise_fused_supported, modwt_denoise_fused)
+        plan = denoise_fused_supported(batch, n, level, DB4.length)
+        assert plan is not None and plan.n_pad > n
+        x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+        thr = jnp.full((batch,), 0.8, jnp.float32)
+        got = np.asarray(modwt_denoise_fused(x, thr, DB4, level,
+                                             interpret=True))
+        want = np.asarray(jw.modwt_denoise(np.asarray(x, np.float64), DB4,
+                                           level, threshold=0.8,
+                                           method="direct"))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    @pytest.mark.parametrize("batch,n,level", [(8, 2000, 3), (16, 6250, 4)])
+    def test_variance_padded_masks_duplicates(self, batch, n, level, rng):
+        from jwave_pro_tpu.kernels.variance_pallas import (
+            modwt_var_fused, var_fused_supported)
+        plan = var_fused_supported(batch, n, level, DB4.length)
+        assert plan is not None and plan.n_pad > n and plan.fold == 1
+        x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+        got = np.asarray(modwt_var_fused(x, DB4, level, interpret=True))
+        c = np.asarray(jw.modwt(np.asarray(x, np.float64), DB4, level,
+                                method="direct"))
+        want = np.mean(c ** 2, axis=-1)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
