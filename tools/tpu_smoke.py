@@ -67,6 +67,19 @@ def main():
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
         imodwt_fused(modwt_fused(v, w, 5), w) - v)))(x1d))
     ok &= check("pallas 1D roundtrip N=1e6", err, 1e-4)
+    # r4.1: the single-pass kernels on the same arbitrary length
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.modwt_denoise(v, w, 5, method="fused", threshold=0.8)
+        - jw.modwt_denoise(v, w, 5, method="direct", threshold=0.8))))(xa))
+    ok &= check("fused denoise N=100003 ≡ xla", err, 1e-5)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.modwt_variance(v, w, 5, method="fused")
+        / jw.modwt_variance(v, w, 5, method="direct") - 1.0)))(xa))
+    ok &= check("fused variance N=100003 rel ≡ xla", err, 1e-4)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.modwpt(v[:, :50000], w, 3, method="auto")
+        - jw.modwpt(v[:, :50000], w, 3, method="direct"))))(xa))
+    ok &= check("fused modwpt N=50000 ≡ xla", err, 1e-5)
 
     # bf16 I/O tier (VERDICT r3 #3): DMA at half traffic, f32 compute in
     # VMEM — the error bound vs the f32 pipeline must hold on-chip.
