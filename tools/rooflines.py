@@ -148,7 +148,39 @@ def mp_roofline(batch=8, n=65536, level=3, k=16):
     return t_full, t_corr
 
 
+def dtcwt_roundtrip_ceiling(batch=32, n=1 << 20, level=5):
+    """Exact executable ceiling for the DTCWT roundtrip (VERDICT r3 #5).
+
+    The dual tree IS two orthonormal FWT roundtrips plus offset rolls, the
+    final average, and the complex combine/split — so the honest ceiling
+    is exactly that, minus the complex/q-shift parts: two real Symlet-8
+    FWT roundtrips + rolls + average.  Prints both times and the ratio
+    (docs/PERFORMANCE.md quotes ~91%).
+    """
+    from jwave_pro_tpu.ops.fwt import fwt, ifwt
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    w8 = jw.wavelet("Symlet 8")
+
+    def two_tree_real(v):
+        ca = ifwt(fwt(v, w8, level=level), w8, level=level)
+        vb = jnp.roll(v, -1, axis=-1)
+        cb = ifwt(fwt(vb, w8, level=level), w8, level=level)
+        return 0.5 * (ca + jnp.roll(cb, 1, axis=-1))
+
+    t_ceil = _t(two_tree_real, x)
+    t_full = _t(lambda v: jw.idtcwt(jw.dtcwt(v, level)), x)
+    print(f"dtcwt roundtrip (B={batch}, N=2^{n.bit_length() - 1}, L={level}):")
+    print(f"  idtcwt(dtcwt(x))       {t_full*1e3:8.2f} ms "
+          f"({batch*n/t_full/1e9:.2f} G)")
+    print(f"  2-tree real ceiling    {t_ceil*1e3:8.2f} ms "
+          f"→ dual tree at {100*t_ceil/t_full:.0f}% of its own ceiling")
+    return t_full, t_ceil
+
+
 if __name__ == "__main__":
     print(f"backend: {jax.devices()[0].platform}")
     scattering2d_roofline()
     mp_roofline()
+    dtcwt_roundtrip_ceiling()
