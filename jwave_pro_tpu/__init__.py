@@ -33,6 +33,7 @@ from .utils import (  # noqa: F401
     ancient_egyptian_decomposition, is_power_of_two, max_level,
     next_power_of_two,
 )
+from .utils.deploy import export_pipeline, load_pipeline  # noqa: F401
 from .ops.cwt import (  # noqa: F401
     CWTResult, cwt, cwt_direct, generate_linear_scales, generate_log_scales,
     icwt,
