@@ -42,7 +42,8 @@ from ..wavelets.base import DiscreteWavelet
 from ..ops.modwt import _check_level, modwt_base_filters
 from .modwt_pallas import (
     DEFAULT_TILE, Plan, _aligned_halo, _circ_take, _f32, _fold_heads,
-    _fold_tails, _pad_circular, _pick_interpret, _pick_sublanes,
+    _fold_tails, _pad_circular, _padded_plan_search, _pick_interpret,
+    _pick_sublanes,
 )
 
 __all__ = ["modwpt_fused", "imodwpt_fused", "pallas_supported",
@@ -116,26 +117,8 @@ def pallas_supported(batch: int, n: int, level: int, m: int,
             fallback = Plan(sub, t, fold, n)
     if fallback is not None:
         return fallback
-    # --- padded (arbitrary-N) plans — modwt_pallas rationale applies ---
-    best = None
-    best_cost = None
-    for fold in (1, 2, 4, 8, 16, 32):
-        sub = _pick_sublanes(batch * fold)
-        if sub is None:
-            continue
-        t = min(tile, DEFAULT_TILE)
-        while t >= 512:
-            if fits(n, sub, t):
-                nloc = -(-n // (fold * t)) * t
-                n_pad = nloc * fold
-                cost = n_pad * (1.0 + halo / t)
-                if sub != 16:
-                    cost *= 1.8
-                if n_pad * 4 <= n * 5 and (best is None
-                                           or cost < best_cost):
-                    best, best_cost = Plan(sub, t, fold, n_pad), cost
-            t //= 2
-    return best
+    return _padded_plan_search(batch, n, halo, tile,
+                               lambda sub, t: fits(n, sub, t))
 
 
 # ---------------------------------------------------------------------------

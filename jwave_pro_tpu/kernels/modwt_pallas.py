@@ -147,16 +147,35 @@ def pallas_supported(batch: int, n: int, level: int, m: int,
             fallback = Plan(sub, t, fold, n)
     if fallback is not None:
         return fallback
-    # --- padded (arbitrary-N) plans ---
+    return _padded_plan_search(
+        batch, n, halo, tile,
+        lambda sub, t: halo < t and t % 128 == 0)
+
+
+def _padded_plan_search(batch: int, n: int, halo: int, tile: int, fits,
+                        folds=(1, 2, 4, 8, 16, 32)) -> Plan | None:
+    """The ONE padded (arbitrary-N) plan search, shared by every fused
+    kernel's planner (r4.1 consolidation — three hand-rolled copies had
+    started drifting: one missed the t % 128 Mosaic-layout guard for
+    custom ``tile`` values, one skipped cost comparison).
+
+    Minimizes estimated cost ``n_pad·(1 + halo/tile)`` (pad waste vs
+    per-tile halo-DMA redundancy) with the measured ~1.8× penalty for
+    8-sublane plans; plans padding more than 25% are rejected (the XLA
+    fallback is cheaper than that much redundant work).  ``fits(sub, t)``
+    must encode ALL per-kernel feasibility (halo < t, 128-lane alignment,
+    VMEM) — the search itself only guards the waste bound.
+    """
     best = None
     best_cost = None
-    for fold in (1, 2, 4, 8, 16, 32):
+    for fold in folds:
         sub = _pick_sublanes(batch * fold)
         if sub is None:
             continue
         t = min(tile, DEFAULT_TILE)
+        t -= t % 128
         while t >= 512:
-            if halo < t:
+            if fits(sub, t):
                 nloc = -(-n // (fold * t)) * t
                 n_pad = nloc * fold
                 cost = n_pad * (1.0 + halo / t)

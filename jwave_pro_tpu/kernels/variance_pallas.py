@@ -38,31 +38,23 @@ from .modwt_pallas import (
 __all__ = ["modwt_var_fused", "var_fused_supported"]
 
 
-def var_fused_supported(batch: int, n: int, level: int, m: int):
+def var_fused_supported(batch: int, n: int, level: int, m: int,
+                        tile: int = 8192):
     """Padded (arbitrary-N) plans are supported at fold=1 (r4.1): the
     wrap-pad region would double-count duplicated coefficients, so the
     kernel masks lanes at signal positions ≥ N0 out of the Σw²
     accumulator (a per-128-group compare against a broadcast iota —
     folded plans would need per-sublane position arithmetic and stay on
     the two-step path)."""
-    plan = pallas_supported(batch, n, level, m)
+    plan = pallas_supported(batch, n, level, m, tile)
     if plan is not None and (plan.n_pad == n or plan.fold == 1):
         return plan
     # the generic search prefers 16-sublane folded pads; re-search fold-1
-    from .modwt_pallas import DEFAULT_TILE, Plan, _pick_sublanes
-    sub = _pick_sublanes(batch)
-    if sub is None:
-        return None
+    from .modwt_pallas import _padded_plan_search
     halo = _aligned_halo(m, level)
-    t = DEFAULT_TILE
-    best = None
-    while t >= 512:
-        if halo < t:
-            n_pad = -(-n // t) * t
-            if n_pad * 4 <= n * 5 and best is None:
-                best = Plan(sub, t, 1, n_pad)
-        t //= 2
-    return best
+    return _padded_plan_search(batch, n, halo, tile,
+                               lambda sub, t: halo < t and t % 128 == 0,
+                               folds=(1,))
 
 
 def _lane_partial(val, tile, j=None, n0=None):
@@ -172,7 +164,7 @@ def modwt_var_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     _check_level(n, level)
     g64, h64 = modwt_base_filters(wavelet)
     m = int(g64.shape[0])
-    plan = var_fused_supported(b, n, level, m)
+    plan = var_fused_supported(b, n, level, m, tile)
     if plan is None:
         raise ValueError(f"unsupported shape {x.shape} for fused variance")
     sublanes, tile, fold, n_pad = plan

@@ -106,7 +106,10 @@ def winsorize_outliers(r: jax.Array, n_sigmas: float = 5.0,
     r = jnp.asarray(r)
     med = jnp.median(r, axis=axis, keepdims=True)
     sigma = jnp.median(jnp.abs(r - med), axis=axis, keepdims=True) / 0.6745
-    lim = n_sigmas * sigma
+    # Degenerate scale: >50% of the window identical (thin sessions full of
+    # exactly-zero returns) gives MAD = 0, and clipping to [med, med] would
+    # silently destroy the whole series — no robust scale ⇒ no clipping.
+    lim = jnp.where(sigma > 0, n_sigmas * sigma, jnp.inf)
     return jnp.clip(r, med - lim, med + lim)
 
 
@@ -119,22 +122,27 @@ def ewma_volatility(r: jax.Array, lam: float = 0.94,
     standard zero-fit member of that family (IGARCH(1,1) with fixed
     parameters) and the only one that needs no per-series optimization —
     the right default for an in-graph, jit-once pipeline.  A ``lax.scan``
-    over time; the first ``min_periods`` steps blend toward the full-
-    sample σ so the warm-up does not divide by near-zero.
+    over time.  STRICTLY CAUSAL: σ[t] depends only on r[0..t] — the
+    recursion seeds at r[0]² and the first ``min_periods`` steps blend
+    toward the EXPANDING mean of r²[:t+1] (not the full-sample mean,
+    which would leak future returns into a backtest's warm-up) so the
+    warm-up does not divide by near-zero.
     """
     r = jnp.asarray(r)
-    var0 = jnp.mean(r * r, axis=-1)
+    r2 = r * r
+    var0 = r2[..., 0]
 
-    def step(v, rt):
-        v = lam * v + (1.0 - lam) * rt * rt
+    def step(v, rt2):
+        v = lam * v + (1.0 - lam) * rt2
         return v, v
 
-    _, var = lax.scan(step, var0, jnp.moveaxis(r, -1, 0))
+    _, var = lax.scan(step, var0, jnp.moveaxis(r2, -1, 0))
     var = jnp.moveaxis(var, 0, -1)
     if min_periods > 0:
         t = jnp.arange(r.shape[-1], dtype=r.dtype)
         w = jnp.minimum(t / float(min_periods), 1.0)
-        var = w * var + (1.0 - w) * var0[..., None]
+        var_exp = jnp.cumsum(r2, axis=-1) / (t + 1.0)   # causal expanding
+        var = w * var + (1.0 - w) * var_exp
     return jnp.sqrt(var)
 
 

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from ..ops.cwt import cwt as _cwt
 from ..ops.fft import fft as _fft
 from ..ops.fwt import fwt as _fwt
-from ..ops.modwt import modwt as _modwt, modwt_base_filters
+from ..ops.modwt import modwt as _modwt
 from ..ops.wpt import wpt as _wpt
 from ..wavelets.base import DiscreteWavelet
 

@@ -52,8 +52,12 @@ def export_pipeline(fn, *example_args, batch_polymorphic: bool = False,
         platforms = (jax.default_backend(),)
     if batch_polymorphic:
         (b,) = _jexport.symbolic_shape("b")
+        # scalars/0-d args (thresholds, knobs) have no batch axis to
+        # substitute — pass their shapes through unchanged
         specs = tuple(
-            jax.ShapeDtypeStruct((b,) + jnp.shape(a)[1:], jnp.asarray(a).dtype)
+            jax.ShapeDtypeStruct(
+                ((b,) + jnp.shape(a)[1:]) if jnp.ndim(a) else (),
+                jnp.asarray(a).dtype)
             for a in example_args)
     else:
         specs = tuple(jax.ShapeDtypeStruct(jnp.shape(a),

@@ -124,3 +124,27 @@ def test_modwt_changepoints_batched_jit(rng):
     assert cp.critical.shape == (4,)
     with np.testing.assert_raises(ValueError):
         jw.modwt_changepoints(x, w, 4, alpha=0.07)
+
+
+def test_winsorize_degenerate_mad_is_noop(rng):
+    # >50% identical values (thin sessions): MAD = 0 → NO clipping rather
+    # than collapsing everything to the median (code-review r4.1)
+    r = np.zeros(128)
+    r[::7] = 0.01 * rng.standard_normal(len(r[::7]))
+    out = np.asarray(jw.winsorize_outliers(r))
+    np.testing.assert_array_equal(out, r)
+
+
+def test_ewma_volatility_is_strictly_causal(rng):
+    # sigma[:t] must not change when the FUTURE changes (backtest safety;
+    # the old full-sample var0 seed leaked ahead — code-review r4.1)
+    r = 0.01 * rng.standard_normal(256)
+    r2 = r.copy()
+    r2[200:] *= 50.0
+    s1 = np.asarray(jw.ewma_volatility(jnp.asarray(r)))
+    s2 = np.asarray(jw.ewma_volatility(jnp.asarray(r2)))
+    np.testing.assert_allclose(s1[:200], s2[:200], rtol=1e-12)
+    z1, _ = jw.normalize_volatility(jnp.asarray(r))
+    z2, _ = jw.normalize_volatility(jnp.asarray(r2))
+    np.testing.assert_allclose(np.asarray(z1)[:200], np.asarray(z2)[:200],
+                               rtol=1e-10)
