@@ -708,3 +708,31 @@ class TestPaddedSinglePass:
                                 method="direct"))
         want = np.mean(c ** 2, axis=-1)
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestPaddedDtypeCompositions:
+    """bf16 I/O × padded plans for the remaining kernels (the 1D case is
+    pinned in TestPaddedDispatchSweep)."""
+
+    def test_modwt2_bf16_padded(self, rng):
+        from jwave_pro_tpu.kernels.modwt2_pallas import (
+            modwt2_fused, pallas2d_supported)
+        w = jw.wavelet("Daubechies 4")
+        p = pallas2d_supported(100, 500, 2, w.length)
+        assert p is not None and (p.r_pad, p.c_pad) != (100, 500)
+        x32 = rng.standard_normal((2, 100, 500)).astype(np.float32)
+        got = np.asarray(modwt2_fused(
+            jnp.asarray(x32, jnp.bfloat16), w, 2).astype(jnp.float32))
+        want = np.asarray(modwt2_fused(jnp.asarray(x32), w, 2))
+        assert got.dtype == np.float32 and np.max(np.abs(got - want)) < 5e-2
+
+    def test_variance_bf16_padded(self, rng):
+        from jwave_pro_tpu.kernels.variance_pallas import (
+            modwt_var_fused, var_fused_supported)
+        plan = var_fused_supported(8, 2000, 3, DB4.length)
+        assert plan is not None and plan.n_pad > 2000
+        x32 = jnp.asarray(rng.standard_normal((8, 2000)), jnp.float32)
+        got = np.asarray(modwt_var_fused(x32.astype(jnp.bfloat16), DB4, 3,
+                                         interpret=True))
+        want = np.asarray(modwt_var_fused(x32, DB4, 3, interpret=True))
+        assert np.max(np.abs(got / want - 1.0)) < 3e-2
