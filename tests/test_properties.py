@@ -134,3 +134,21 @@ def test_performance_table(rng):
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / 5
         print(f"{name:10s} {x.size / dt / 1e9:8.3f} Gsamples/s")
+
+
+def test_roundtrip_fuzz_arbitrary_shapes(rng):
+    """Seeded roundtrip sweep over (wavelet, level, N) incl. arbitrary N —
+    the broad safety net behind the r4 padded-dispatch tier (CPU: XLA
+    paths; the kernels' own parity lives in test_pallas_kernels)."""
+    import jwave_pro_tpu as jw
+    cases = [("Haar", 3, 1024), ("Daubechies 4", 4, 6000),
+             ("Symlet 8", 2, 7777), ("Coiflet 2", 3, 100003 // 16)]
+    for name, level, n in cases:
+        w = jw.wavelet(name)
+        x = rng.standard_normal((2, n))
+        c = jw.modwt(x, w, level)
+        np.testing.assert_allclose(np.asarray(jw.imodwt(c, w)), x,
+                                   atol=1e-8, err_msg=f"modwt {name} {n}")
+        cp = jw.modwpt(x, w, level)
+        np.testing.assert_allclose(np.asarray(jw.imodwpt(cp, w)), x,
+                                   atol=1e-8, err_msg=f"modwpt {name} {n}")
