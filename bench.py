@@ -158,6 +158,27 @@ def bench_mp(batch=8, n=65536, level=3, k=16):
     return batch * n / _time_chain(step, x)
 
 
+def bench_wpt_denoise(batch=8, n=65536, level=6):
+    """Best-basis denoise: full tree + cost DP + shrink + mixed-level
+    reconstruct (r4 wpt_denoise)."""
+    w = jw.wavelet("Symlet 8")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
+                    jnp.float32)
+    dt = _time_chain(lambda v: jw.wpt_denoise(v, w, level, mode="hard"), x)
+    return batch * n / dt
+
+
+def bench_financial_chain(batch=64, n=1 << 16):
+    """preprocess_prices: gap-fill scan + returns + winsorize + causal EWMA
+    devolatize (r4 financial tier) — prices/s through the whole chain."""
+    p = np.exp(np.cumsum(
+        0.01 * np.random.default_rng(0).standard_normal((batch, n)),
+        axis=-1))
+    x = jnp.asarray(p, jnp.float32)
+    dt = _time_chain(lambda v: jw.preprocess_prices(v)[0], x)
+    return batch * n / dt
+
+
 def bench_dtcwt(batch=32, n=1 << 20, level=5):
     """Dual-tree complex WT forward, DCE-proof (every subband of both trees
     feeds back through the chain)."""
@@ -453,6 +474,8 @@ def main():
         run("fwt2_db4_1024", bench_fwt2d)
         run("wpt_sym8_L6", bench_wpt)
         run("wpt_roundtrip", bench_wpt_roundtrip)
+        run("wpt_denoise_L6", bench_wpt_denoise)
+        run("financial_chain", bench_financial_chain)
         run("modwpt_db4_L3", bench_modwpt)
         run("modwpt_arbN_100003", lambda: bench_modwpt(n=100003))
         run("modwpt_bf16", lambda: bench_modwpt(dtype=jnp.bfloat16))
