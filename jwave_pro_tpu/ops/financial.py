@@ -17,6 +17,7 @@ winsorize_outliers → normalize_volatility`` yields an array every
 """
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -122,6 +123,27 @@ def winsorize_outliers(r: jax.Array, n_sigmas: float = 5.0,
     return jnp.clip(r, med - lim, med + lim)
 
 
+_FIR_BLK = 512
+
+
+@functools.lru_cache(maxsize=32)
+def _fir_block_constants(lam: float, k_taps: int, dtype_name: str):
+    """(prev, cur) (BLK, BLK) banded constants for the exponential FIR:
+    output t of a block reads ``taps[k]`` at input t−k, the previous
+    block supplying the negative offsets (k_taps ≤ BLK guaranteed)."""
+    a = np.zeros((_FIR_BLK, _FIR_BLK))
+    b = np.zeros((_FIR_BLK, _FIR_BLK))
+    taps = (1.0 - lam) * lam ** np.arange(k_taps)
+    for t in range(_FIR_BLK):
+        for k in range(k_taps):
+            u = t - k
+            if u >= 0:
+                b[u, t] += taps[k]
+            else:
+                a[_FIR_BLK + u, t] += taps[k]
+    return a.astype(dtype_name), b.astype(dtype_name)
+
+
 def ewma_volatility(r: jax.Array, lam: float = 0.94,
                     min_periods: int = 10) -> jax.Array:
     """RiskMetrics EWMA volatility: ``σ²[t] = λ·σ²[t−1] + (1−λ)·r²[t]``.
@@ -130,51 +152,86 @@ def ewma_volatility(r: jax.Array, lam: float = 0.94,
     (FINANCIAL_ROADMAP.md:76-79) names GARCH; the λ=0.94 EWMA is the
     standard zero-fit member of that family (IGARCH(1,1) with fixed
     parameters) and the only one that needs no per-series optimization —
-    the right default for an in-graph, jit-once pipeline.  A ``lax.scan``
-    over time.  STRICTLY CAUSAL: σ[t] depends only on r[0..t] — the
+    the right default for an in-graph, jit-once pipeline.
+    STRICTLY CAUSAL: σ[t] depends only on r[0..t] — the
     recursion seeds at r[0]² and the first ``min_periods`` steps blend
     toward the EXPANDING mean of r²[:t+1] (not the full-sample mean,
     which would leak future returns into a backtest's warm-up) so the
     warm-up does not divide by near-zero.
     """
+    if not 0.0 <= lam < 1.0:
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
     r = jnp.asarray(r)
+    if not jnp.issubdtype(r.dtype, jnp.floating):
+        r = r.astype(jnp.float32)
     n = r.shape[-1]
     r2 = r * r
     # The recursion v[t] = λ·v[t−1] + (1−λ)·r²[t] unrolls to an
     # EXPONENTIAL FIR: v[t] = (1−λ)·Σ_k λ^k·r²[t−k] (+ the λ^{t+1}·r²[0]
     # seed term).  Run it as ONE truncated causal convolution — weights
-    # past λ^K < 2⁻²⁴ are below f32 resolution, so truncating at
-    # K = ⌈−24·ln2/lnλ⌉ (269 taps at λ=0.94) is exact in f32 — instead of
-    # a length-N time scan: lax.scan is latency-bound on TPU (~0.03 G
-    # samples/s) and lax.associative_scan's log-depth slicing is a
-    # compile-time bomb through the remote-TPU tunnel at production
-    # batches (measured: minutes at (64, 65536)); the conv compiles in
-    # seconds and runs at memory speed.
-    bits = jnp.finfo(r.dtype).nmant + 1 if jnp.issubdtype(
-        r.dtype, jnp.floating) else 24
-    k_taps = int(min(n, np.ceil(-bits * np.log(2.0) / np.log(lam))))
-    w = (1.0 - lam) * lam ** np.arange(k_taps)     # host f64
+    # past λ^K below the dtype's resolution are unrepresentable, so
+    # truncating at K = ⌈−mant·ln2/lnλ⌉ (269 taps f32 / 594 f64 at
+    # λ=0.94) is exact in-dtype — instead of a length-N time scan:
+    # lax.scan is latency-bound on TPU (~0.03 G samples/s) and
+    # lax.associative_scan's log-depth slicing is a compile-time bomb
+    # through the remote-TPU tunnel at production batches (measured:
+    # minutes at (64, 65536)); the conv compiles in seconds and runs at
+    # memory speed.
+    bits = jnp.finfo(r.dtype).nmant + 1
+    if lam == 0.0:
+        k_taps = 1                                 # v[t] = r²[t]
+    else:
+        k_taps = int(min(n, np.ceil(-bits * np.log(2.0) / np.log(lam))))
+        k_taps = max(k_taps, 1)
+    taps = (1.0 - lam) * lam ** np.arange(k_taps)  # host f64
     lead = r2.shape[:-1]
-    xp = jnp.pad(r2, [(0, 0)] * (r2.ndim - 1) + [(k_taps - 1, 0)])
-    xp = xp.reshape((-1, 1, n + k_taps - 1))
-    kern = jnp.asarray(w[::-1].copy(), dtype=r2.dtype).reshape(1, 1, k_taps)
-    var = lax.conv_general_dilated(
-        xp, kern, (1,), "VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
-    var = var.reshape(lead + (n,))
+    if k_taps <= _FIR_BLK:
+        # Banded block-pair matmul (the FWT tier's trick at stride 1):
+        # two (BLK, BLK) constants against the (prev, cur) block pair —
+        # full-precision MXU einsums at HIGHEST run this in ~1 ms where
+        # a 1-channel lax.conv costs 5 ms at DEFAULT (bf16-truncated —
+        # breaks the exact-in-dtype claim per the CLAUDE.md MXU rule)
+        # and 34 ms at HIGHEST (64×65536, v5e).
+        a_np, b_np = _fir_block_constants(lam, k_taps,
+                                          jnp.dtype(r2.dtype).name)
+        npad = (-n) % _FIR_BLK
+        x2p = jnp.pad(r2, [(0, 0)] * (r2.ndim - 1) + [(0, npad)])
+        kb = (n + npad) // _FIR_BLK
+        xb = x2p.reshape(lead + (kb, _FIR_BLK))
+        prev = jnp.concatenate(
+            [jnp.zeros(lead + (1, _FIR_BLK), r2.dtype), xb[..., :-1, :]],
+            axis=-2)
+        ein = lambda u, m: jnp.einsum(
+            "...ku,uv->...kv", u, jnp.asarray(m),
+            preferred_element_type=r2.dtype,
+            precision=lax.Precision.HIGHEST)
+        var = (ein(prev, a_np) + ein(xb, b_np)).reshape(
+            lead + (n + npad,))[..., :n]
+    else:
+        # long-memory λ (K > BLK, e.g. λ ≥ ~0.989 in f32): 1-channel conv
+        xp = jnp.pad(r2, [(0, 0)] * (r2.ndim - 1) + [(k_taps - 1, 0)])
+        xp = xp.reshape((-1, 1, n + k_taps - 1))
+        kern = jnp.asarray(taps[::-1].copy(),
+                           dtype=r2.dtype).reshape(1, 1, k_taps)
+        var = lax.conv_general_dilated(
+            xp, kern, (1,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=lax.Precision.HIGHEST)[:, 0, :]
+        var = var.reshape(lead + (n,))
     # seed: v[0] = r²[0] exactly (strictly causal) ⇒ add λ^{t+1}·r²[0]
-    t_idx = jnp.arange(n, dtype=r.dtype)
-    var = var + jnp.exp((t_idx + 1.0) * float(np.log(lam))) * r2[..., :1]
+    if lam > 0.0:
+        t_idx = jnp.arange(n, dtype=r.dtype)
+        var = var + jnp.exp((t_idx + 1.0) * float(np.log(lam))) * r2[..., :1]
     if min_periods > 0:
         t = jnp.arange(r.shape[-1], dtype=r.dtype)
-        w = jnp.minimum(t / float(min_periods), 1.0)
+        blend = jnp.minimum(t / float(min_periods), 1.0)
         var_exp = jnp.cumsum(r2, axis=-1) / (t + 1.0)   # causal expanding
-        var = w * var + (1.0 - w) * var_exp
+        var = blend * var + (1.0 - blend) * var_exp
     return jnp.sqrt(var)
 
 
 def normalize_volatility(r: jax.Array, lam: float = 0.94,
-                         eps: float = 1e-12):
+                         eps: float = 1e-12, rel_floor: float = 1e-3):
     """Devolatize returns: ``z[t] = r[t]/σ[t−1]`` (σ lagged one step so
     the normalizer is strictly causal — r[t] never sees its own shock).
 
@@ -182,11 +239,27 @@ def normalize_volatility(r: jax.Array, lam: float = 0.94,
     Wavelet variance/spectra of ``z`` then measure STRUCTURE (memory,
     scaling) instead of being dominated by volatility clustering — the
     reason the roadmap front-loads this before its MODWT.
+
+    The divisor is floored at ``eps + rel_floor·(causal expanding RMS)``:
+    after a long flat stretch (a halted session gap-filled to constant
+    prices ⇒ zero returns) the EWMA σ decays toward 0, and a bare-eps
+    floor would amplify the first resumed return by up to 1e12× — a
+    spurious spike that would then dominate every downstream wavelet
+    statistic.  The relative floor caps the amplification at
+    ``1/rel_floor`` times the series' own running scale while leaving
+    normal regimes untouched (σ ≫ rel_floor·RMS there).
     """
     r = jnp.asarray(r)
+    if not jnp.issubdtype(r.dtype, jnp.floating):
+        r = r.astype(jnp.float32)
     sigma = ewma_volatility(r, lam)
     lagged = jnp.concatenate([sigma[..., :1], sigma[..., :-1]], axis=-1)
-    return r / jnp.maximum(lagged, eps), sigma
+    t = jnp.arange(r.shape[-1], dtype=r.dtype)
+    rms_exp = jnp.sqrt(jnp.cumsum(r * r, axis=-1) / (t + 1.0))
+    lag_rms = jnp.concatenate([rms_exp[..., :1], rms_exp[..., :-1]],
+                              axis=-1)
+    floor = eps + rel_floor * lag_rms
+    return r / jnp.maximum(lagged, floor), sigma
 
 
 def realized_volatility(r: jax.Array, window: int,

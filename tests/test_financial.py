@@ -148,3 +148,33 @@ def test_ewma_volatility_is_strictly_causal(rng):
     z2, _ = jw.normalize_volatility(jnp.asarray(r2))
     np.testing.assert_allclose(np.asarray(z1)[:200], np.asarray(z2)[:200],
                                rtol=1e-10)
+
+
+def test_ewma_lam_edge_cases(rng):
+    r = jnp.asarray(0.01 * rng.standard_normal(64))
+    # lam=0: sigma[t] = |r[t]| (after the warm-up blend)
+    s0 = np.asarray(jw.ewma_volatility(r, lam=0.0, min_periods=0))
+    np.testing.assert_allclose(s0, np.abs(np.asarray(r)), rtol=1e-6)
+    with np.testing.assert_raises(ValueError):
+        jw.ewma_volatility(r, lam=1.0)
+    with np.testing.assert_raises(ValueError):
+        jw.ewma_volatility(r, lam=-0.1)
+    # integer returns promote instead of silently zeroing the FIR taps
+    si = np.asarray(jw.ewma_volatility(jnp.arange(32), min_periods=0))
+    assert si.dtype == np.float32 and (si[1:] > 0).all()
+
+
+def test_normalize_volatility_halted_session_floor(rng):
+    # one shock then a long flat stretch (a gap-filled halted session):
+    # sigma decays to ~0 and the first resumed return must NOT be blown
+    # up by a bare-eps divisor — the relative floor caps it near
+    # 1/rel_floor of the series' running scale (code-review r4.1)
+    n = 1024
+    r = np.zeros(n, np.float32)
+    r[10] = 0.05
+    r[-1] = 0.01   # market resumes
+    z, _ = jw.normalize_volatility(jnp.asarray(r))
+    z = np.asarray(z)
+    assert np.isfinite(z).all()
+    assert abs(z[-1]) < 2.0 / 1e-3 * abs(r[-1]) / np.sqrt(np.mean(r**2)) \
+        and abs(z[-1]) < 1e7, z[-1]

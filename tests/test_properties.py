@@ -140,7 +140,6 @@ def test_roundtrip_fuzz_arbitrary_shapes(rng):
     """Seeded roundtrip sweep over (wavelet, level, N) incl. arbitrary N —
     the broad safety net behind the r4 padded-dispatch tier (CPU: XLA
     paths; the kernels' own parity lives in test_pallas_kernels)."""
-    import jwave_pro_tpu as jw
     cases = [("Haar", 3, 1024), ("Daubechies 4", 4, 6000),
              ("Symlet 8", 2, 7777), ("Coiflet 2", 3, 100003 // 16)]
     for name, level, n in cases:
