@@ -90,10 +90,24 @@ def main():
         scales = jw.generate_log_scales(1.0, 256.0, 64)
         batch = jnp.asarray(np.stack([chirp(4096, 1, 100, 1000.0),
                                       ecg_like(4096, fs=360.0)]), dtype=f32)
-        mag = jax.jit(lambda v: jnp.max(jnp.abs(
-            jw.cwt(v, scales, wav, 360.0).coefficients)))(batch)
+        # Parity of the default (banded on TPU f32) path vs the reference
+        # irfft formulation — a wrong-but-finite default must FAIL here
+        # (VERDICT r4 #6), so reduce max|default − fft| on device.
+        stats = jax.jit(lambda v: (
+            jnp.max(jnp.abs(jw.cwt(v, scales, wav, 360.0).coefficients)),
+            jnp.max(jnp.abs(
+                jw.cwt(v, scales, wav, 360.0).coefficients
+                - jw.cwt(v, scales, wav, 360.0,
+                         method="fft").coefficients))))(batch)
+        mag, dev = (float(s) for s in stats)
+        bound = 2e-5 * max(mag, 1.0)
+        status = "OK" if dev <= bound else "FAIL"
         print(f"5. CWT Morlet(6.0) 64-scale batched:    max|c| = "
-              f"{float(mag):.3f} (finite)")
+              f"{mag:.3f}, default-vs-fft parity {dev:.2e} "
+              f"(bound {bound:.1e}) {status}")
+        if dev > bound:
+            raise SystemExit("config 5 FAILED: banded CWT diverges from "
+                             "the irfft reference path")
 
     print("eval configs: DONE")
 
