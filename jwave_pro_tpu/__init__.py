@@ -75,8 +75,8 @@ from .ops.compress import (  # noqa: F401
 )
 from .ops.financial import (  # noqa: F401
     cumulate_returns, ewma_volatility, fill_gaps, log_returns,
-    normalize_volatility, preprocess_prices, realized_volatility,
-    winsorize_outliers,
+    median_select, normalize_volatility, preprocess_prices,
+    realized_volatility, winsorize_outliers,
 )
 from .ops.denoise import (  # noqa: F401
     bayes_threshold, hard_threshold, mad_sigma, modwt2_denoise, modwt_denoise,

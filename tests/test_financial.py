@@ -40,6 +40,30 @@ def test_fill_gaps_all_methods(rng):
         jw.fill_gaps(x, "bogus")
 
 
+def test_median_select_matches_np_median(rng):
+    # exact sort-free selection (VERDICT r4 #4): bitwise bisection must
+    # reproduce np.median bit-for-bit — even/odd lengths, heavy ties,
+    # negatives, both dtypes, non-last axis
+    for dt in (np.float32, np.float64):
+        for n in (1, 2, 3, 8, 17, 100):
+            dense = rng.standard_normal((3, n)).astype(dt) * 100
+            ties = rng.integers(-3, 4, size=(3, n)).astype(dt)
+            for x in (dense, ties):
+                np.testing.assert_array_equal(
+                    np.asarray(jw.median_select(jnp.asarray(x))),
+                    np.median(x, axis=-1))
+    x = rng.standard_normal((7, 5))
+    np.testing.assert_array_equal(
+        np.asarray(jw.median_select(jnp.asarray(x), axis=0)),
+        np.median(x, axis=0))
+
+
+def test_median_select_jits_and_batches(rng):
+    x = rng.standard_normal((2, 3, 64)).astype(np.float32)
+    m = np.asarray(jax.jit(jw.median_select)(jnp.asarray(x)))
+    np.testing.assert_array_equal(m, np.median(x, axis=-1))
+
+
 def test_winsorize_is_robust_to_the_outlier_itself(rng):
     r = 0.01 * rng.standard_normal(512)
     r[100] = 5.0  # a fat-finger print

@@ -290,6 +290,15 @@ def main():
         - jw.modwt_variance(v, w, 4, method="direct"))))(x))
     ok &= check("fused variance ≡ xla variance", err, 1e-4)
 
+    # sort-free exact median (financial winsorize, VERDICT r4 #4): the
+    # bitwise selection must equal the sort-based jnp.median ON CHIP
+    # (even N → mean of two middles; odd slice → single element)
+    err = float(jax.jit(lambda v: jnp.maximum(
+        jnp.max(jnp.abs(jw.median_select(v) - jnp.median(v, axis=-1))),
+        jnp.max(jnp.abs(jw.median_select(v[:, :8191])
+                        - jnp.median(v[:, :8191], axis=-1)))))(x))
+    ok &= check("median_select ≡ jnp.median (even+odd N)", err, 0.0 + 1e-30)
+
     print("TPU smoke:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
