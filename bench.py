@@ -293,17 +293,28 @@ def bench_fwt3d(batch=4, n=128, level=2):
     return batch * n ** 3 / dt
 
 
-def bench_modwt3d(batch=2, n=64, level=2):
-    """3D MODWT: voxels/s ((3·level+1)× output expansion)."""
+def bench_modwt3d(batch=2, n=64, level=2, method="auto"):
+    """3D MODWT: voxels/s ((7·level+1)× output expansion).  'auto' rides
+    the r5 fused (D, R·C) merged-lane Pallas kernel; 'direct' pins the
+    XLA separable baseline for the A/B."""
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n, n)),
                     jnp.float32)
 
     def step(v):
-        c = jw.modwt3(v, w, level)
+        c = jw.modwt3(v, w, level, method=method)
         return c[-1] + 1e-30 * jnp.sum(c[:-1], axis=0)
 
     return batch * n ** 3 / _time_chain(step, x)
+
+
+def bench_modwt3d_roundtrip(batch=2, n=64, level=2):
+    """3D MODWT roundtrip (both directions fused)."""
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n, n)),
+                    jnp.float32)
+    return batch * n ** 3 / _time_chain(
+        lambda v: jw.imodwt3(jw.modwt3(v, w, level), w), x)
 
 
 def bench_modwt_batch1(n=1 << 24, level=5):
@@ -459,6 +470,8 @@ def main():
             lambda: bench_modwt_arbn_1d(method="direct"))
         run("fwt3_db4_128", bench_fwt3d)
         run("modwt3_db4_64", bench_modwt3d)
+        run("modwt3_db4_64_xla", lambda: bench_modwt3d(method="direct"))
+        run("modwt3_roundtrip", bench_modwt3d_roundtrip)
         run("variance_fused", bench_variance)
         run("variance_arbN_100003", lambda: bench_variance(n=100003))
         run("variance_bf16", lambda: bench_variance(dtype=jnp.bfloat16))

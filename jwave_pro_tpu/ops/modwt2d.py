@@ -199,17 +199,47 @@ def _conv_depth(x, f, d, adjoint):
     return _conv_axis(x, f, d, -3, adjoint)
 
 
-def modwt3(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
+def _try_pallas3(x, wavelet, level):
+    """Dispatch the 3D forward to the fused TPU kernel when shapes allow."""
+    if jax.default_backend() != "tpu" or x.dtype not in (jnp.float32,
+                                                         jnp.bfloat16):
+        return None
+    if x.ndim not in (3, 4):
+        return None
+    from ..kernels.modwt3_pallas import modwt3_fused, pallas3d_supported
+
+    if pallas3d_supported(x.shape[-3], x.shape[-2], x.shape[-1], level,
+                          wavelet.length) is None:
+        return None
+    return modwt3_fused(x, wavelet, level)
+
+
+def modwt3(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+           method: str = "auto") -> jax.Array:
     """Forward 3D MODWT over the last three axes (any sizes).
 
     Separable octant cascade — the undecimated analog of the reference's
     3D dispatch pattern (``BasicTransform.java:509-566``), with the à-trous
     level-j filters applied along cols, rows, then depth.
+
+    ``method``: 'auto' (fused TPU kernel when the shape allows — f32/bf16,
+    R·C a multiple of 128, VMEM plan fits — else XLA), 'pallas' (force,
+    raising if unsupported), or 'direct' (XLA separable path).
     """
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(jnp.float32)
     _check_nd(x.shape[-3:], level)
+    if method in ("auto", "pallas"):
+        out = _try_pallas3(x, wavelet, level)
+        if out is not None:
+            return out
+        if method == "pallas":
+            raise ValueError(
+                f"fused 3D kernel unavailable for shape {x.shape} dtype "
+                f"{x.dtype} on backend {jax.default_backend()}")
+    elif method != "direct":
+        raise ValueError(f"unknown method {method!r}")
     g64, h64 = modwt_base_filters(wavelet)
     g = jnp.asarray(g64, dtype=x.dtype)
     h = jnp.asarray(h64, dtype=x.dtype)
@@ -230,14 +260,39 @@ def modwt3(x: jax.Array, wavelet: DiscreteWavelet, level: int) -> jax.Array:
     return jnp.stack(rows, axis=0)
 
 
-def imodwt3(coeffs: jax.Array, wavelet: DiscreteWavelet) -> jax.Array:
-    """Inverse 3D MODWT: ``(7·level+1, ..., D, R, C)`` → ``(..., D, R, C)``."""
+def imodwt3(coeffs: jax.Array, wavelet: DiscreteWavelet,
+            method: str = "auto") -> jax.Array:
+    """Inverse 3D MODWT: ``(7·level+1, ..., D, R, C)`` → ``(..., D, R, C)``.
+
+    ``method`` as in :func:`modwt3` (the fused TPU kernel handles
+    ``(7L+1, [B,] D, R, C)`` f32/bf16 stacks).
+    """
     coeffs = jnp.asarray(coeffs)
     if coeffs.shape[0] % 7 != 1:
         raise ValueError(
             f"3D MODWT coefficient stack must have 7·level+1 rows, got "
             f"{coeffs.shape[0]}")
     level = (coeffs.shape[0] - 1) // 7
+    if method in ("auto", "pallas"):
+        if (jax.default_backend() == "tpu"
+                and coeffs.dtype in (jnp.float32, jnp.bfloat16)
+                and coeffs.ndim in (4, 5)):
+            from ..kernels.modwt3_pallas import (
+                imodwt3_fused, pallas3d_supported)
+
+            if pallas3d_supported(coeffs.shape[-3], coeffs.shape[-2],
+                                  coeffs.shape[-1], level,
+                                  wavelet.length) is not None:
+                try:
+                    return imodwt3_fused(coeffs, wavelet)
+                except ValueError:
+                    pass        # inverse VMEM budget tighter than forward
+        if method == "pallas":
+            raise ValueError(
+                f"fused 3D inverse unavailable for shape {coeffs.shape} "
+                f"dtype {coeffs.dtype} on backend {jax.default_backend()}")
+    elif method != "direct":
+        raise ValueError(f"unknown method {method!r}")
     g64, h64 = modwt_base_filters(wavelet)
     g = jnp.asarray(g64, dtype=coeffs.dtype)
     h = jnp.asarray(h64, dtype=coeffs.dtype)

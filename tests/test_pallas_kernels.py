@@ -417,6 +417,62 @@ class TestModwt2Fused:
             imodwt2_fused(np.zeros((5, 64, 256), np.float32), w)  # 5%3!=2
 
 
+class TestModwt3Fused:
+    """r5 fused 3D kernel: (D, R·C) merged-lane layout, exact circular
+    row/col shifts (stride-C rolls + two-roll select), haloed depth chunks.
+    CPU = interpret mode; on-chip bit-exactness is pinned in tpu_smoke."""
+
+    def test_interpret_parity_and_squeeze(self, rng):
+        from jwave_pro_tpu.kernels.modwt3_pallas import modwt3_fused
+        w = jw.wavelet("Daubechies 4")
+        x = rng.standard_normal((2, 16, 16, 16)).astype(np.float32)
+        got = np.asarray(modwt3_fused(x, w, 2))
+        want = np.asarray(jw.modwt3(x, w, 2, method="direct"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        g1 = np.asarray(modwt3_fused(x[0], w, 1))
+        np.testing.assert_allclose(
+            g1, np.asarray(jw.modwt3(x[0], w, 1, method="direct")),
+            atol=1e-4)
+
+    def test_non_cubic_and_wrap_padded_depth(self, rng):
+        # D=24 pads to dt-multiples; D=8 at L3 needs a multi-wrap context
+        from jwave_pro_tpu.kernels.modwt3_pallas import (
+            imodwt3_fused, modwt3_fused)
+        w = jw.wavelet("Daubechies 4")
+        for shape, lvl in [((3, 24, 8, 16), 2), ((1, 8, 16, 32), 3)]:
+            x = rng.standard_normal(shape).astype(np.float32)
+            got = np.asarray(modwt3_fused(x, w, lvl))
+            want = np.asarray(jw.modwt3(x, w, lvl, method="direct"))
+            np.testing.assert_allclose(got, want, atol=1e-4)
+            rt = np.asarray(imodwt3_fused(jnp.asarray(want, jnp.float32), w))
+            np.testing.assert_allclose(rt, x, atol=1e-4)
+
+    def test_plan_gates(self):
+        from jwave_pro_tpu.kernels.modwt3_pallas import pallas3d_supported
+        p = pallas3d_supported(64, 64, 64, 2, 8)
+        assert p is not None and p.d_pad == 64
+        # lane plane must be a multiple of 128
+        assert pallas3d_supported(64, 9, 9, 2, 8) is None
+        # VMEM plan failure at large planes → None (XLA fallback)
+        assert pallas3d_supported(128, 128, 128, 2, 8) is None
+        with np.testing.assert_raises(ValueError):
+            jw.modwt3(np.zeros((16, 9, 9), np.float32),
+                      jw.wavelet("Daubechies 4"), 2, method="pallas")
+
+    def test_symlet8_inverse_cross_path(self, rng):
+        from jwave_pro_tpu.kernels.modwt3_pallas import (
+            imodwt3_fused, modwt3_fused)
+        w = jw.wavelet("Symlet 8")
+        x = rng.standard_normal((1, 16, 8, 16)).astype(np.float32)
+        got = np.asarray(modwt3_fused(x, w, 1))
+        want = np.asarray(jw.modwt3(x, w, 1, method="direct"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        rt = np.asarray(imodwt3_fused(jnp.asarray(want, jnp.float32), w))
+        np.testing.assert_allclose(rt, x, atol=1e-4)
+        with np.testing.assert_raises(ValueError):
+            imodwt3_fused(np.zeros((6, 16, 8, 16), np.float32), w)
+
+
 class TestModwptFused:
     """Fused packet-tree kernel (kernels/modwpt_pallas.py) — interpret mode
     vs the XLA sequency-ordered path (itself oracle-pinned)."""

@@ -266,11 +266,23 @@ def main():
         jw.wpt_denoise(v, w, 4, threshold=0.0) - v)))(x[:4, :4096]))
     ok &= check("best-basis denoise zero-threshold identity", err, 1e-4)
 
-    # 3D MODWT roundtrip on device
+    # 3D MODWT roundtrip on device (auto → r5 fused kernel both ways)
     vol = x[:4, :4096].reshape(4, 16, 16, 16)
     err = float(jax.jit(lambda v: jnp.max(jnp.abs(
         jw.imodwt3(jw.modwt3(v, w, 2), w) - v)))(vol))
     ok &= check("modwt3 roundtrip", err, 1e-4)
+
+    # fused 3D kernel vs XLA separable path (r5; merged-lane layout with
+    # exact circular shifts must be BIT-exact vs the roll formulation)
+    vol2 = x[:2, :8192].reshape(2, 32, 16, 16)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.modwt3(v, w, 2, method="pallas")
+        - jw.modwt3(v, w, 2, method="direct"))))(vol2))
+    ok &= check("fused 3D modwt ≡ xla separable", err, 1e-30)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.imodwt3(jw.modwt3(v, w, 2, method="pallas"), w,
+                   method="pallas") - v)))(vol2))
+    ok &= check("fused 3D roundtrip", err, 1e-4)
 
     # fused 2D MODWT kernel vs XLA separable path (needs C > 128 for the
     # lane-aligned halo; see kernels/modwt2_pallas.pallas2d_supported)
