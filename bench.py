@@ -494,6 +494,7 @@ def main():
         run("modwpt_bf16", lambda: bench_modwpt(dtype=jnp.bfloat16))
         run("modwpt2_db4_L2", bench_modwpt2)
         run("mp_db4_L3_k16", bench_mp)
+        run("mp_arbN_100003", lambda: bench_mp(n=100003))
         run("streaming_modwt_inc", bench_streaming)
         run("dtcwt_L5", bench_dtcwt)
         run("cwt_morlet_64scales", bench_cwt)

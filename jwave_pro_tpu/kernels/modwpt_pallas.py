@@ -262,7 +262,8 @@ def _modwpt_fused_impl(x: jax.Array, wavelet: DiscreteWavelet, level: int,
 # ---------------------------------------------------------------------------
 
 def _select_kernel(x_hbm, tails_hbm, val_ref, sval_ref, gid_ref, bufs,
-                   sems_m, sems_h, *, g, h, level, halo, tile, sublanes):
+                   sems_m, sems_h, *, g, h, level, halo, tile, sublanes,
+                   fold, nloc, n0):
     """Forward cascade + in-kernel per-node running argmax.
 
     MP's select needs only (max |W_node|, its position, its signed value)
@@ -274,6 +275,12 @@ def _select_kernel(x_hbm, tails_hbm, val_ref, sval_ref, gid_ref, bufs,
     kernel's reduction pattern); the host finishes with one tiny argmax
     over the 128 slots.  Three outputs: best |w| (f32), its signed value
     (f32), its global 128-group index (i32; position = gid·128 + slot).
+
+    Padded/folded plans (r5, VERDICT r4 #2): each sublane is fold row
+    ``f = row mod fold`` of some signal, covering positions
+    ``f·nloc + gid·128 + slot``; wrap-duplicated pad lanes (global position
+    ≥ n0) are masked to −1 so a duplicated position can never win the
+    argmax.  Exact fold-1 tilings skip the mask entirely (static flag).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -285,6 +292,7 @@ def _select_kernel(x_hbm, tails_hbm, val_ref, sval_ref, gid_ref, bufs,
     m = len(g)
     step = i * nj + j
     slot = step % 2
+    masked = fold > 1 or nloc * fold != n0
 
     def dmas(sl, ii, jj):
         rows = pl.ds(ii * sublanes, sublanes)
@@ -331,12 +339,20 @@ def _select_kernel(x_hbm, tails_hbm, val_ref, sval_ref, gid_ref, bufs,
         nodes = [new[p] for p in _seq_perm(len(new))]
 
     groups = tile // 128
+    if masked:
+        # per-sublane fold row → base position; pad lanes must lose
+        row = (i * sublanes
+               + jax.lax.broadcasted_iota(jnp.int32, (sublanes, 128), 0))
+        base = (row % fold) * nloc \
+            + jax.lax.broadcasted_iota(jnp.int32, (sublanes, 128), 1)
     for idx, node in enumerate(nodes):
         w = node[:, halo:]                            # (S, tile)
         ba = bs = bg = None
         for p in range(groups):
             seg = w[:, p * 128:(p + 1) * 128]
             a = jnp.abs(seg)
+            if masked:
+                a = jnp.where(base + (j * groups + p) * 128 < n0, a, -1.0)
             gid = jnp.full(a.shape, j * groups + p, jnp.int32)
             if ba is None:
                 ba, bs, bg = a, seg, gid
@@ -362,14 +378,12 @@ def _select_kernel(x_hbm, tails_hbm, val_ref, sval_ref, gid_ref, bufs,
 
 
 def select_fused_supported(batch: int, n: int, level: int, m: int):
-    """Plan for :func:`modwpt_select_fused` — fold-1 exact tilings only
-    (a fold splits one signal across rows, and a pad region would win the
-    argmax with a duplicated position; both fall back to the coefficient
-    kernel + XLA argmax)."""
-    plan = pallas_supported(batch, n, level, m)
-    if plan is None or plan.fold != 1 or plan.n_pad != n:
-        return None
-    return plan
+    """Plan for :func:`modwpt_select_fused` — any plan the forward kernel
+    admits.  r5 (VERDICT r4 #2): folded plans (small batches) carry
+    per-sublane position arithmetic and padded plans mask wrap-duplicated
+    lanes out of the argmax in-kernel, so arbitrary-N and B≤8 signals get
+    the fused select too (previously fold-1 exact tilings only)."""
+    return pallas_supported(batch, n, level, m)
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "level", "tile",
@@ -386,33 +400,42 @@ def modwpt_select_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, n = x.shape
-    _check_level(n, level)
+    b, n0 = x.shape
+    _check_level(n0, level)
     g64, h64 = modwt_base_filters(wavelet)
     m = int(g64.shape[0])
-    sup = select_fused_supported(b, n, level, m)
+    sup = select_fused_supported(b, n0, level, m)
     if sup is None:
         raise ValueError(f"unsupported shape {x.shape} for fused select")
-    sublanes, tile, _, _ = sup
+    sublanes, tile, fold, n = sup
     halo = _aligned_halo(m, level)
     g = tuple(np.asarray(g64, dtype=np.float32))
     h = tuple(np.asarray(h64, dtype=np.float32))
-    xr, tails = _fold_tails(x, 1, halo, tile)
+    rows, nloc = b * fold, n // fold
+    pad = n - n0
+    x_orig = x
+    if pad:
+        x = _pad_circular(x, pad)
+    xr, tails = _fold_tails(x, fold, halo, tile)
+    if pad:
+        tails = tails.at[0, ::fold].set(
+            _circ_take(x_orig, n0 - halo, halo).astype(tails.dtype))
     num_nodes = 1 << level
 
     kernel = functools.partial(_select_kernel, g=g, h=h, level=level,
-                               halo=halo, tile=tile, sublanes=sublanes)
+                               halo=halo, tile=tile, sublanes=sublanes,
+                               fold=fold, nloc=nloc, n0=n0)
     blk = pl.BlockSpec((num_nodes, sublanes, 128), lambda i, j: (0, i, 0),
                        memory_space=pltpu.VMEM)
     val, sval, gid = pl.pallas_call(
         kernel,
-        grid=(b // sublanes, n // tile),
+        grid=(rows // sublanes, nloc // tile),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[blk, blk, blk],
-        out_shape=[jax.ShapeDtypeStruct((num_nodes, b, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((num_nodes, b, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((num_nodes, b, 128), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((num_nodes, rows, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((num_nodes, rows, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((num_nodes, rows, 128), jnp.int32)],
         scratch_shapes=[
             pltpu.VMEM((2, sublanes, halo + tile), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -420,9 +443,21 @@ def modwpt_select_fused(x: jax.Array, wavelet: DiscreteWavelet, level: int,
         ],
         interpret=_pick_interpret(interpret),
     )(_f32(xr), _f32(tails))
+    if fold == 1:
+        lane = jnp.argmax(val, axis=-1)                  # (2^L, B)
+        take = lambda a: \
+            jnp.take_along_axis(a, lane[..., None], axis=-1)[..., 0]
+        shift = take(gid) * 128 + lane.astype(jnp.int32)
+        return take(val), shift, take(sval)
+    # folded: flatten (fold, 128) per signal, recover f from the flat lane
+    val = val.reshape(num_nodes, b, fold * 128)
+    sval = sval.reshape(num_nodes, b, fold * 128)
+    gid = gid.reshape(num_nodes, b, fold * 128)
     lane = jnp.argmax(val, axis=-1)                      # (2^L, B)
     take = lambda a: jnp.take_along_axis(a, lane[..., None], axis=-1)[..., 0]
-    shift = take(gid) * 128 + lane.astype(jnp.int32)
+    f = lane // 128
+    shift = (f * nloc + take(gid) * 128
+             + (lane % 128)).astype(jnp.int32)
     return take(val), shift, take(sval)
 
 

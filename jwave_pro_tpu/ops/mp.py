@@ -235,7 +235,9 @@ def matching_pursuit(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     # r4: the select stage can run as ONE fused kernel emitting only the
     # per-node (max |W|, position, signed value) — the coefficient block's
     # 2^L× output expansion (the forward kernel's dominant HBM traffic)
-    # never materializes.  TPU, 2D input, fold-1 exact-tile plans only.
+    # never materializes.  TPU, 2D input; r5 extends it to folded (small
+    # batch) and padded (arbitrary-N) plans via in-kernel position
+    # arithmetic + pad-lane masking (VERDICT r4 #2).
     use_fused_select = False
     if method == "auto" and x.ndim == 2 and jax.default_backend() == "tpu":
         from ..kernels.modwpt_pallas import (

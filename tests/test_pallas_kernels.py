@@ -725,11 +725,32 @@ class TestSelectFused:
         np.testing.assert_array_equal(np.asarray(val), np.abs(want_v))
 
     def test_gates(self):
+        # r5: folded and padded plans are now admitted (VERDICT r4 #2)
         from jwave_pro_tpu.kernels.modwpt_pallas import (
             select_fused_supported)
         assert select_fused_supported(8, 2048, 3, 8) is not None
-        assert select_fused_supported(1, 16384, 3, 8) is None   # fold
-        assert select_fused_supported(8, 5000, 3, 8) is None    # pad
+        p = select_fused_supported(1, 16384, 3, 8)
+        assert p is not None and p.fold > 1
+        p = select_fused_supported(8, 5000, 3, 8)
+        assert p is not None and p.n_pad > 5000
+
+    @pytest.mark.parametrize("batch,n,level", [
+        (2, 4096, 2),       # folded (fold 8)
+        (8, 5000, 2),       # padded (wrap lanes must not win the argmax)
+        (2, 5000, 2),       # folded × padded
+    ])
+    def test_folded_padded_match_coefficient_argmax(self, batch, n, level,
+                                                    rng):
+        from jwave_pro_tpu.kernels.modwpt_pallas import modwpt_select_fused
+        x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+        val, t, sv = modwpt_select_fused(x, DB4, level, interpret=True)
+        c = np.asarray(jw.modwpt(x, DB4, level, method="direct"))
+        want_t = np.argmax(np.abs(c), axis=-1)
+        want_v = np.take_along_axis(c, want_t[..., None], axis=-1)[..., 0]
+        np.testing.assert_array_equal(np.asarray(t), want_t)
+        np.testing.assert_allclose(np.asarray(sv), want_v, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(val), np.abs(want_v),
+                                   atol=2e-6)
 
 
 class TestPaddedSinglePass:

@@ -302,6 +302,23 @@ def main():
         - jw.modwt_variance(v, w, 4, method="direct"))))(x))
     ok &= check("fused variance ≡ xla variance", err, 1e-4)
 
+    # padded/folded fused MP select (r5, VERDICT r4 #2): node/shift/amp
+    # must be bit-exact vs the coefficient-path argmax even when the plan
+    # pads (wrap lanes masked) or folds (per-sublane position arithmetic)
+    from jwave_pro_tpu.kernels.modwpt_pallas import modwpt_select_fused
+    xsel = jnp.asarray(rng.standard_normal((8, 100003)), dtype=jnp.float32)
+
+    def _sel_err(v):
+        val, t, sv = modwpt_select_fused(v, w, 3)
+        cc = jw.modwpt(v, w, 3, method="direct")
+        wt = jnp.argmax(jnp.abs(cc), axis=-1)
+        wv = jnp.take_along_axis(cc, wt[..., None], axis=-1)[..., 0]
+        return jnp.maximum(jnp.max(jnp.abs(sv - wv)),
+                           jnp.max(jnp.abs(t - wt)).astype(jnp.float32))
+
+    err = float(jax.jit(_sel_err)(xsel))
+    ok &= check("fused MP select padded N=100003 ≡ coeff path", err, 1e-30)
+
     # sort-free exact median (financial winsorize, VERDICT r4 #4): the
     # bitwise selection must equal the sort-based jnp.median ON CHIP
     # (even N → mean of two middles; odd slice → single element)
