@@ -238,7 +238,7 @@ def bench_wpt_roundtrip(batch=64, n=65536, level=6):
 
 
 def bench_cwt(dtype=jnp.float32, batch=16, n=4096, n_scales=64,
-              wavelet=None):
+              wavelet=None, precision=None):
     wav = wavelet if wavelet is not None else jw.MorletWavelet()
     scales = jw.generate_log_scales(1.0, 256.0, n_scales)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
@@ -250,7 +250,7 @@ def bench_cwt(dtype=jnp.float32, batch=16, n=4096, n_scales=64,
         # FFTs entirely (this inflated the round-1 CWT figure).  The
         # 1e-30-scaled sums force every scale row (and both quadratures) to
         # be computed and read back.
-        c = jw.cwt(v, scales, wav, 1.0).coefficients
+        c = jw.cwt(v, scales, wav, 1.0, precision=precision).coefficients
         re = jnp.real(c)
         out = re[..., 0, :] + 1e-30 * jnp.sum(re, axis=-2)
         if jnp.iscomplexobj(c):
@@ -396,7 +396,7 @@ def bench_scattering2d(batch=4, n=256, j=4, l=8):
     return batch * n * n / _time_chain(step, x)
 
 
-def bench_ssq(batch=4, n=4096, n_scales=32):
+def bench_ssq(batch=4, n=4096, n_scales=32, precision=None):
     """Synchrosqueezed CWT: input samples/s (W, ∂W, reassignment, Tx)."""
     wav = jw.MorletWavelet()
     fc = float(wav.center_frequency)
@@ -405,7 +405,8 @@ def bench_ssq(batch=4, n=4096, n_scales=32):
                     jnp.float32)
 
     def step(v):
-        r = jw.ssq_cwt(v, scales, wavelet=wav, gamma=1e-4)
+        r = jw.ssq_cwt(v, scales, wavelet=wav, gamma=1e-4,
+                       precision=precision)
         return v + 1e-30 * (jnp.sum(jnp.real(r.Tx), axis=-2)
                             + jnp.sum(jnp.imag(r.Tx), axis=-2))
 
@@ -498,11 +499,17 @@ def main():
         run("streaming_modwt_inc", bench_streaming)
         run("dtcwt_L5", bench_dtcwt)
         run("cwt_morlet_64scales", bench_cwt)
+        run("cwt_morlet_64scales_high",
+            lambda: bench_cwt(precision="high"))
         run("cwt_mexhat_64scales",
             lambda: bench_cwt(wavelet=jw.MexicanHatWavelet()))
+        run("cwt_mexhat_64scales_high",
+            lambda: bench_cwt(wavelet=jw.MexicanHatWavelet(),
+                              precision="high"))
         run("scattering1d_j8q8", bench_scattering)
         run("scattering2d_j4l8", bench_scattering2d)
         run("ssq_morlet_32scales", bench_ssq)
+        run("ssq_morlet_32scales_high", lambda: bench_ssq(precision="high"))
         run("modwt2_fwd_fused_512", bench_modwt2)
         run("modwt2_arb_1000x750", lambda: bench_modwt2(n=None))
         run("modwt2_bf16_512", lambda: bench_modwt2(dtype=jnp.bfloat16))

@@ -26,6 +26,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..utils.validation import next_power_of_two
 from ..wavelets.continuous import ContinuousWavelet, MorletWavelet
@@ -296,15 +297,45 @@ def _banded_auto_ok(xp, scales_np, padded_n, n) -> bool:
     return batch_elems * padded_n * len(scales_np) <= (1 << 26)
 
 
+def _resolve_precision(precision, low_default: bool):
+    """Map the user-facing ``precision`` knob to a lax.Precision.
+
+    ``None`` → HIGHEST for f32 inputs (exact-parity tier, ≤2e-5 vs the
+    irfft path) or HIGH when ``low_default`` (bfloat16 input opted into
+    the fast tier).  Strings 'highest'/'high'/'default' map directly.
+    """
+    if precision is None:
+        return lax.Precision.HIGH if low_default else lax.Precision.HIGHEST
+    if isinstance(precision, str):
+        try:
+            return {"highest": lax.Precision.HIGHEST,
+                    "high": lax.Precision.HIGH,
+                    "default": lax.Precision.DEFAULT}[precision.lower()]
+        except KeyError:
+            raise ValueError(f"unknown precision {precision!r}") from None
+    return precision
+
+
 def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
         sampling_rate: float = 1.0, padding: str = "zero",
-        method: str = "auto") -> CWTResult:
+        method: str = "auto", precision=None) -> CWTResult:
     """FFT-based CWT over a static array of scales.
 
     ``method``: 'auto' (pruned-band MXU path on TPU f32 when shapes allow,
     else the half-spectrum irfft path), 'banded' (force pruned-band),
     'fft' (force the half-spectrum irfft path), 'fused' (opt-in Pallas
     multiply+iDFT kernel).
+
+    ``precision`` (r5 low-precision tier, affects the banded MXU path
+    only): ``None`` = full 6-pass f32 matmuls (HIGHEST — ≤2e-5 parity vs
+    the irfft path); ``'high'`` = 3-pass bf16x3 matmuls — measured
+    **2.2–2.5× on v5e at ≤3e-5 RELATIVE error** (Morlet 0.31→0.69 G,
+    Mexican Hat 0.37→0.93 G inputs/s; docs/PERFORMANCE.md).  A
+    ``bfloat16`` input array selects 'high' implicitly (coefficients are
+    still complex64 — there is no complex-bf16).  ``'default'`` (1-pass
+    bf16) measured SLOWER than HIGHEST here (0.29 G — the Karatsuba
+    split defeats the single-pass layout) and is kept only for
+    experiments.
 
     Equivalent of ``transformFFT`` (``ContinuousWaveletTransform.java:
     183-229``) and its parallel variants (``:511-607``) in one batched op.
@@ -326,6 +357,10 @@ def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(jnp.float32)
+    low_prec = x.dtype == jnp.bfloat16
+    if low_prec:
+        x = x.astype(jnp.float32)       # spectra/FFTs have no bf16 form
+    mxu_prec = _resolve_precision(precision, low_prec)
     n = x.shape[-1]
     padded_n = next_power_of_two(n)
     xp = pad_signal(x, padded_n, padding)
@@ -363,7 +398,8 @@ def cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
                                  if x.dtype == jnp.float64 else jnp.float32)
         sig_rfft = jnp.fft.rfft(xp, axis=-1)
         coeff = cwt_banded_coefficients(sig_rfft, n, scales_np, wavelet,
-                                        sampling_rate, padded_n)
+                                        sampling_rate, padded_n,
+                                        precision=mxu_prec)
     elif (method == "fused" and x.dtype == jnp.float32
           and (fused := _cwt_fused_tpu(xp, n, scales_np, wavelet,
                                        sampling_rate)) is not None):

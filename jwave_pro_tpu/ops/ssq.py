@@ -207,7 +207,8 @@ def _reassign_planes(w_re, w_im, d_re, d_im, weights, log_lo, dlog, n_freqs,
 def ssq_cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
             sampling_rate: float = 1.0, n_freqs: int | None = None,
             freq_range: tuple[float, float] | None = None,
-            padding: str = "zero", gamma: float | None = None) -> SSQResult:
+            padding: str = "zero", gamma: float | None = None,
+            precision=None) -> SSQResult:
     """Synchrosqueezed CWT of a real signal over a static scale grid.
 
     ``x``: real ``(batch…, N)``.  ``scales``: static positive floats
@@ -220,12 +221,23 @@ def ssq_cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
 
     Fully jittable: multipliers, bin edges, and weights are trace-time
     constants; the scatter is a fixed-shape one-hot ``lax.scan``.
+
+    ``precision`` (r5): the banded (W, ∂_t W) front end's MXU precision —
+    ``None`` = HIGHEST (exact tier); ``'high'`` = 3-pass bf16x3, selected
+    implicitly by a ``bfloat16`` input.  The reassignment scatter is
+    dtype-insensitive (VPU op-count-bound, see docs/PERFORMANCE.md), so
+    the tier moves only the front-end share of the step.
     """
     if wavelet is None:
         wavelet = MorletWavelet()
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(jnp.float32)
+    low_prec = x.dtype == jnp.bfloat16
+    if low_prec:
+        x = x.astype(jnp.float32)
+    from .cwt import _resolve_precision
+    mxu_prec = _resolve_precision(precision, low_prec)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise ValueError("ssq_cwt expects a real signal")
     n = x.shape[-1]
@@ -271,7 +283,8 @@ def ssq_cwt(x: jax.Array, scales, wavelet: ContinuousWavelet | None = None,
         # docs/PERFORMANCE.md).
         xh = jnp.fft.rfft(xp, axis=-1)
         w_c, d_c = cwt_banded_wd(xh, n, scales_np, wavelet,
-                                 float(sampling_rate), padded_n)
+                                 float(sampling_rate), padded_n,
+                                 precision=mxu_prec)
         tx, w_coef = _reassign_planes(
             jnp.real(w_c), jnp.imag(w_c), jnp.real(d_c), jnp.imag(d_c),
             weights, log_lo, dlog, n_freqs, gamma, rdtype, cdtype)

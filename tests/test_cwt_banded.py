@@ -122,3 +122,41 @@ def test_banded_band_plan_prunes(rng):
     assert widths[0] == 1                        # 128-bin bands exist
     total_bins = sum(g.b2 * 128 * len(g.offsets) for g in row_groups[0])
     assert total_bins < 0.55 * 64 * 2049         # < 55% of the full grid
+
+
+def test_precision_tier_api(rng):
+    # r5 low-precision tier (VERDICT r4 #3): precision='high'/'highest'
+    # and bf16 inputs are accepted everywhere; on CPU all tiers agree to
+    # f32 noise (the bf16x3 MXU passes exist only on TPU — the on-chip
+    # bound lives in tools/tpu_smoke.py).  'default' and bad strings.
+    import jax
+    from jax import lax
+    from jwave_pro_tpu.ops.cwt import _resolve_precision
+
+    assert _resolve_precision(None, False) == lax.Precision.HIGHEST
+    assert _resolve_precision(None, True) == lax.Precision.HIGH
+    assert _resolve_precision("high", False) == lax.Precision.HIGH
+    assert _resolve_precision(lax.Precision.DEFAULT, False) \
+        == lax.Precision.DEFAULT
+    with pytest.raises(ValueError):
+        _resolve_precision("bogus", False)
+
+    wav = jw.MorletWavelet.from_omega0(6.0)
+    scales = jw.generate_log_scales(1.0, 64.0, 16)
+    x = jnp.asarray(rng.standard_normal((2, 1024)), jnp.float32)
+    ref = np.asarray(jw.cwt(x, scales, wav, 100.0).coefficients)
+    hi = np.asarray(jw.cwt(x, scales, wav, 100.0,
+                           precision="high").coefficients)
+    assert np.max(np.abs(hi - ref)) <= 1e-3 * np.max(np.abs(ref)) + 1e-6
+    # bf16 input: implicit fast tier; only input-rounding error on CPU
+    b16 = np.asarray(jw.cwt(x.astype(jnp.bfloat16), scales, wav,
+                            100.0).coefficients)
+    assert b16.dtype == ref.dtype          # complex64 — no complex-bf16
+    assert np.max(np.abs(b16 - ref)) <= 2e-2 * np.max(np.abs(ref))
+    # ssq accepts the knob and keeps its sum identity across tiers
+    sc = tuple(float(s) for s in np.asarray(scales))
+    r1 = jw.ssq_cwt(x, sc, wav, 100.0)
+    r2 = jw.ssq_cwt(x, sc, wav, 100.0, precision="high")
+    lhs = np.asarray(jnp.sum(r2.Tx, axis=-2))
+    rhs = np.asarray(jnp.sum(r1.Tx, axis=-2))
+    assert np.max(np.abs(lhs - rhs)) <= 1e-3 * np.max(np.abs(rhs)) + 1e-6
