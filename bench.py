@@ -158,13 +158,14 @@ def bench_mp(batch=8, n=65536, level=3, k=16):
     return batch * n / _time_chain(step, x)
 
 
-def bench_wpt_denoise(batch=8, n=65536, level=6):
+def bench_wpt_denoise(batch=8, n=65536, level=6, per_sample=False):
     """Best-basis denoise: full tree + cost DP + shrink + mixed-level
-    reconstruct (r4 wpt_denoise)."""
+    reconstruct (r4 wpt_denoise; r5 per_sample = one basis per row)."""
     w = jw.wavelet("Symlet 8")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n)),
                     jnp.float32)
-    dt = _time_chain(lambda v: jw.wpt_denoise(v, w, level, mode="hard"), x)
+    dt = _time_chain(lambda v: jw.wpt_denoise(v, w, level, mode="hard",
+                                              per_sample=per_sample), x)
     return batch * n / dt
 
 
@@ -489,6 +490,8 @@ def main():
         run("wpt_sym8_L6", bench_wpt)
         run("wpt_roundtrip", bench_wpt_roundtrip)
         run("wpt_denoise_L6", bench_wpt_denoise)
+        run("wpt_denoise_L6_per_sample",
+            lambda: bench_wpt_denoise(per_sample=True))
         run("financial_chain", bench_financial_chain)
         run("modwpt_db4_L3", bench_modwpt)
         run("modwpt_arbN_100003", lambda: bench_modwpt(n=100003))

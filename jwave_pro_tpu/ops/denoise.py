@@ -222,7 +222,7 @@ def modwt2_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
 
 def wpt_denoise(x: jax.Array, wavelet: DiscreteWavelet, level=None,
                 cost: str = "sure", mode: str = "soft",
-                threshold=None) -> jax.Array:
+                threshold=None, per_sample: bool = False) -> jax.Array:
     """Best-basis packet denoising: adapt the BASIS to the signal, then
     shrink.
 
@@ -239,7 +239,11 @@ def wpt_denoise(x: jax.Array, wavelet: DiscreteWavelet, level=None,
     noise structure the octave tree cannot isolate (a packet basis can
     place narrow bands on interfering tones).  ``threshold`` defaults to
     the universal threshold from the level-1 detail MAD; jits and batches
-    (one basis is selected for the whole batch, costs summed).
+    (one basis is selected for the whole batch, costs summed — unless
+    ``per_sample=True`` (r5): the cost DP runs vectorized over the batch
+    and every sample adapts its OWN basis, the right choice when batch
+    rows are heterogeneous series, e.g. the financial tier's per-asset
+    panels).
 
     Mode guidance: for strong narrowband (tonal) content prefer
     ``mode='hard'`` — soft thresholding biases every kept coefficient by
@@ -253,7 +257,8 @@ def wpt_denoise(x: jax.Array, wavelet: DiscreteWavelet, level=None,
 
     x = jnp.asarray(x)
     n = x.shape[-1]
-    masks, _, tree = best_basis(x, wavelet, level, cost)
+    masks, _, tree = best_basis(x, wavelet, level, cost,
+                                per_sample=per_sample)
     flat = basis_coefficients(tree, masks)
     if threshold is None:
         d1 = tree[1][..., n // 2:]            # level-1 details
@@ -261,11 +266,12 @@ def wpt_denoise(x: jax.Array, wavelet: DiscreteWavelet, level=None,
     shrink = soft_threshold if mode == "soft" else hard_threshold
     shrunk = shrink(flat, threshold)
     # keep the low-pass packet: positions [0, n >> l) of the level l whose
-    # leaf mask covers node 0 (static loop over levels; masks are traced)
+    # leaf mask covers node 0 (static loop over levels; masks are traced;
+    # per-sample masks broadcast their batch axes into ``keep``)
     keep = jnp.zeros((n,), dtype=bool)
     pos = jnp.arange(n)
     for l, m in enumerate(masks):
-        keep = keep | (m[0] & (pos < (n >> l)))
+        keep = keep | (m[..., 0:1] & (pos < (n >> l)))
     out = jnp.where(keep, flat, shrunk)
     return basis_reconstruct(out, masks, wavelet)
 
