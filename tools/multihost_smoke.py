@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--n", type=int, default=1 << 22)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--full", action="store_true",
+                    help="also run the full sharded-surface battery "
+                         "(the same 14 families tools/distributed_smoke.py "
+                         "--full runs across 2 local processes) over the "
+                         "real multi-host mesh")
     args = ap.parse_args()
 
     import jax
@@ -91,6 +96,30 @@ def main():
         print(f"roundtrip max-abs-err: {err:.2e}")
         print(f"throughput: {sps/1e9:.2f} Gsamples/s total "
               f"({sps/n_dev/1e9:.2f} per chip)")
+
+    if args.full:
+        # arg-parity with tools/distributed_smoke.py --full (VERDICT r4
+        # #10): the identical 14-family battery, here over the real
+        # multi-host mesh (ring edges / subtree gathers / psum ride DCN)
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from distributed_smoke import (FULL_DEFAULT_TOL, FULL_TOLS,
+                                       _full_battery)
+
+        # distributed_smoke's gloo workers run f64; real TPU hardware runs
+        # f32, where the deep cascades sit at ~1e-6 (measured 1.7e-6 max
+        # on an 8-device f32 CPU mesh) — floor the f64 tolerances there.
+        floor = 0.0 if jax.config.jax_enable_x64 else 5e-6
+        fam = _full_battery()
+        ok = all(v <= max(FULL_TOLS.get(k, FULL_DEFAULT_TOL), floor)
+                 for k, v in fam.items())
+        if jax.process_index() == 0:
+            for k, v in sorted(fam.items()):
+                tol = max(FULL_TOLS.get(k, FULL_DEFAULT_TOL), floor)
+                print(f"  [{'OK ' if v <= tol else 'FAIL'}] {k}: "
+                      f"{v:.2e} (tol {tol:g})")
+            print("full battery:", "PASS" if ok else "FAIL")
+        if not ok:
+            raise SystemExit(1)
 
 
 if __name__ == "__main__":
