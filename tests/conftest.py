@@ -21,6 +21,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent CPU compilation cache (r5 suite diet): the suite is compile-
+# bound and its shapes are stable across runs, so repeat runs on the same
+# box skip most XLA work.  Safe to delete; first run repopulates it.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JWAVE_TEST_CACHE_DIR",
+                                 "/tmp/jwave_test_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import numpy as np  # noqa: E402

@@ -140,20 +140,20 @@ def test_wpt_denoise_per_sample_equals_singleton_loop(rng):
     # every batch row adapts its own basis — must equal running each row
     # alone, on a heterogeneous batch where the shared basis differs
     from jwave_pro_tpu.utils.signals import chirp
-    n = 2048
+    n = 1024
     t = np.arange(n)
     x0 = np.sin(0.2 * t) + np.sin(0.23 * t) + 0.3 * rng.standard_normal(n)
-    x1 = np.asarray(chirp(n, 1, 400, 4096.0)) + 0.3 * rng.standard_normal(n)
+    x1 = np.asarray(chirp(n, 1, 200, 2048.0)) + 0.3 * rng.standard_normal(n)
     X = jnp.asarray(np.stack([x0, x1]))
-    ps = np.asarray(jw.wpt_denoise(X, DB4, 6, mode="hard",
+    ps = np.asarray(jw.wpt_denoise(X, DB4, 5, mode="hard",
                                    per_sample=True))
-    loop = np.stack([np.asarray(jw.wpt_denoise(X[i], DB4, 6, mode="hard"))
+    loop = np.stack([np.asarray(jw.wpt_denoise(X[i], DB4, 5, mode="hard"))
                      for i in range(2)])
     np.testing.assert_allclose(ps, loop, atol=1e-10)
     # the per-sample masks equal each row's own singleton selection
-    m_b, c_b, _ = jw.best_basis(X, DB4, 6, per_sample=True)
+    m_b, c_b, _ = jw.best_basis(X, DB4, 5, per_sample=True)
     for i in range(2):
-        m_i, c_i, _ = jw.best_basis(X[i], DB4, 6)
+        m_i, c_i, _ = jw.best_basis(X[i], DB4, 5)
         for lvl in range(len(m_b)):
             np.testing.assert_array_equal(np.asarray(m_b[lvl][i]),
                                           np.asarray(m_i[lvl]))

@@ -26,6 +26,7 @@ def test_export_roundtrip_denoise(rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_export_batch_polymorphic(rng):
     fn = lambda v: jw.preprocess_prices(v)[0]
     p8 = jnp.asarray(np.exp(np.cumsum(

@@ -44,8 +44,10 @@ def test_median_select_matches_np_median(rng):
     # exact sort-free selection (VERDICT r4 #4): bitwise bisection must
     # reproduce np.median bit-for-bit — even/odd lengths, heavy ties,
     # negatives, both dtypes, non-last axis
+    # (4 lengths × 2 dtypes: each distinct (dtype, n) costs a fresh XLA
+    # compile of the bisection loop — r5 suite diet trimmed the grid)
     for dt in (np.float32, np.float64):
-        for n in (1, 2, 3, 8, 17, 100):
+        for n in (1, 2, 17, 100):
             dense = rng.standard_normal((3, n)).astype(dt) * 100
             ties = rng.integers(-3, 4, size=(3, n)).astype(dt)
             for x in (dense, ties):

@@ -436,10 +436,11 @@ class TestModwt3Fused:
 
     def test_non_cubic_and_wrap_padded_depth(self, rng):
         # D=24 pads to dt-multiples; D=8 at L3 needs a multi-wrap context
+        # (shapes kept tiny — interpret mode pays per-element Python cost)
         from jwave_pro_tpu.kernels.modwt3_pallas import (
             imodwt3_fused, modwt3_fused)
         w = jw.wavelet("Daubechies 4")
-        for shape, lvl in [((3, 24, 8, 16), 2), ((1, 8, 16, 32), 3)]:
+        for shape, lvl in [((2, 24, 8, 16), 2), ((1, 8, 8, 16), 3)]:
             x = rng.standard_normal(shape).astype(np.float32)
             got = np.asarray(modwt3_fused(x, w, lvl))
             want = np.asarray(jw.modwt3(x, w, lvl, method="direct"))
@@ -480,8 +481,8 @@ class TestModwptFused:
     @pytest.mark.parametrize("batch,n,level", [
         (8, 2048, 3),      # unfolded, 8 sublanes
         (16, 2048, 2),     # unfolded, 16 sublanes
-        (1, 16384, 3),     # batch=1 → folded
-        (2, 8192, 4),      # small batch → folded, 16 nodes
+        (1, 8192, 3),      # batch=1 → folded
+        (2, 4096, 4),      # small batch → folded, 16 nodes
     ])
     def test_forward_matches_xla(self, batch, n, level, rng):
         from jwave_pro_tpu.kernels.modwpt_pallas import (
@@ -495,7 +496,7 @@ class TestModwptFused:
 
     @pytest.mark.parametrize("batch,n,level", [
         (8, 2048, 3),
-        (1, 16384, 3),
+        (1, 8192, 3),
     ])
     def test_roundtrip(self, batch, n, level, rng):
         from jwave_pro_tpu.kernels.modwpt_pallas import (

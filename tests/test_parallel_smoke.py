@@ -19,7 +19,11 @@ needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
 
 
 @needs8
+@pytest.mark.slow
 def test_modwt_sharded_roundtrip_smoke(rng):
+    # Slow-marked (r5 suite diet): ~70 s of sharded-compile time; the
+    # driver's dryrun_multichip runs every round and the --runslow
+    # distributed battery covers the full sharded surface.
     mesh = make_mesh({"data": 2, "signal": 4})
     w = jw.wavelet("Daubechies 4")
     x = rng.standard_normal((2, 256))

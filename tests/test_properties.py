@@ -136,10 +136,13 @@ def test_performance_table(rng):
         print(f"{name:10s} {x.size / dt / 1e9:8.3f} Gsamples/s")
 
 
+@pytest.mark.slow
 def test_roundtrip_fuzz_arbitrary_shapes(rng):
     """Seeded roundtrip sweep over (wavelet, level, N) incl. arbitrary N —
     the broad safety net behind the r4 padded-dispatch tier (CPU: XLA
-    paths; the kernels' own parity lives in test_pallas_kernels)."""
+    paths; the kernels' own parity lives in test_pallas_kernels).
+    Slow-marked (r5 suite diet): 52 s of XLA CPU compiles; the same
+    roundtrips are covered at single shapes by the default suite."""
     cases = [("Haar", 3, 1024), ("Daubechies 4", 4, 6000),
              ("Symlet 8", 2, 7777), ("Coiflet 2", 3, 100003 // 16)]
     for name, level, n in cases:

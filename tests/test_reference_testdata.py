@@ -93,8 +93,12 @@ def test_fft_sine_simple_input():
     np.testing.assert_allclose(np.asarray(jfft.ifft(got)).real, x, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_cwt_params_pin():
     """CWT pinned at the reference's published parameter set.
+
+    Slow-marked (r5 suite diet): two direct-CWT jit compiles cost ~45 s
+    on CPU; the banded/fft facade parity stays in the default suite.
 
     ``cwt_test_params.txt`` is the reference's only committed CWT golden
     artifact (the scipy matrices were never checked in), so the pin is:

@@ -78,6 +78,7 @@ def test_nonexpansive():
     assert d_s <= 1.01 * d_x
 
 
+@pytest.mark.slow
 def test_translation_invariance_at_averaging_scale():
     n, j = 4096, 7  # T = 128
     t_ax = np.arange(n)
