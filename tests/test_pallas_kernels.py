@@ -451,14 +451,31 @@ class TestModwt3Fused:
     def test_plan_gates(self):
         from jwave_pro_tpu.kernels.modwt3_pallas import pallas3d_supported
         p = pallas3d_supported(64, 64, 64, 2, 8)
-        assert p is not None and p.d_pad == 64
+        assert p is not None and p.d_pad == 64 and p.hr == 0
         # lane plane must be a multiple of 128
         assert pallas3d_supported(64, 9, 9, 2, 8) is None
-        # VMEM plan failure at large planes → None (XLA fallback)
-        assert pallas3d_supported(128, 128, 128, 2, 8) is None
+        # large planes get LANE-TILED plans (r5.1): whole-row chunks with
+        # an hr-row circular context instead of an XLA fallback
+        p = pallas3d_supported(128, 128, 128, 2, 8)
+        assert p is not None and p.hr > 0 and 128 % p.nr == 0
         with np.testing.assert_raises(ValueError):
             jw.modwt3(np.zeros((16, 9, 9), np.float32),
                       jw.wavelet("Daubechies 4"), 2, method="pallas")
+
+    def test_lane_tiled_plan_parity(self, rng):
+        # an hr>0 plan (plane too big for one window): row creep must stay
+        # inside the context and both directions must match the XLA path
+        from jwave_pro_tpu.kernels.modwt3_pallas import (
+            imodwt3_fused, modwt3_fused, pallas3d_supported)
+        w = jw.wavelet("Daubechies 4")
+        p = pallas3d_supported(16, 128, 128, 2, 8)
+        assert p is not None and p.hr > 0
+        x = rng.standard_normal((1, 16, 128, 128)).astype(np.float32)
+        got = np.asarray(modwt3_fused(x, w, 2))
+        want = np.asarray(jw.modwt3(x, w, 2, method="direct"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        rt = np.asarray(imodwt3_fused(jnp.asarray(want, jnp.float32), w))
+        np.testing.assert_allclose(rt, x, atol=1e-4)
 
     def test_symlet8_inverse_cross_path(self, rng):
         from jwave_pro_tpu.kernels.modwt3_pallas import (
