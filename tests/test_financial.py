@@ -60,6 +60,33 @@ def test_median_select_matches_np_median(rng):
         np.median(x, axis=0))
 
 
+def test_matmul_cumsum_matches_jnp(rng):
+    # r5: the expanding-RMS floor and realized vol ride an MXU triangular-
+    # matmul prefix sum (XLA's log-N cumsum was the EWMA tier's dominant
+    # cost); must match jnp.cumsum to summation-order noise, any length
+    from jwave_pro_tpu.ops.financial import _cumsum_last
+    for n in (7, 512, 1024, 1500, 4096):
+        x = rng.standard_normal((3, n)).astype(np.float32)
+        got = np.asarray(_cumsum_last(jnp.asarray(x)))
+        want = np.cumsum(x, axis=-1)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_ewma_head_only_warmup_is_exact(rng):
+    # the min_periods blend reads the expanding mean ONLY at t < m_p, so
+    # the r5 head-only cumsum must be identical to the full-length form
+    r = 0.01 * rng.standard_normal((2, 300))
+    sig = np.asarray(jw.ewma_volatility(jnp.asarray(r), min_periods=10))
+    r2 = r * r
+    var_ref = np.asarray(jw.ewma_volatility(jnp.asarray(r),
+                                            min_periods=0)) ** 2
+    t = np.arange(300)
+    blend = np.minimum(t / 10.0, 1.0)
+    var_exp = np.cumsum(r2, axis=-1) / (t + 1.0)
+    want = np.sqrt(blend * var_ref + (1 - blend) * var_exp)
+    np.testing.assert_allclose(sig, want, rtol=1e-6, atol=1e-12)
+
+
 def test_median_select_jits_and_batches(rng):
     x = rng.standard_normal((2, 3, 64)).astype(np.float32)
     m = np.asarray(jax.jit(jw.median_select)(jnp.asarray(x)))
