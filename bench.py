@@ -474,6 +474,9 @@ def main():
         run("modwt3_db4_64", bench_modwt3d)
         run("modwt3_db4_64_xla", lambda: bench_modwt3d(method="direct"))
         run("modwt3_roundtrip", bench_modwt3d_roundtrip)
+        run("modwt3_db4_128", lambda: bench_modwt3d(batch=1, n=128))
+        run("modwt3_db4_128_xla",
+            lambda: bench_modwt3d(batch=1, n=128, method="direct"))
         run("variance_fused", bench_variance)
         run("variance_arbN_100003", lambda: bench_variance(n=100003))
         run("variance_bf16", lambda: bench_variance(dtype=jnp.bfloat16))

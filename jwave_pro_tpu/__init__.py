@@ -79,9 +79,9 @@ from .ops.financial import (  # noqa: F401
     realized_volatility, winsorize_outliers,
 )
 from .ops.denoise import (  # noqa: F401
-    bayes_threshold, hard_threshold, mad_sigma, modwt2_denoise, modwt_denoise,
-    modwt_denoise_inplace, soft_threshold, sure_threshold, wpt2_denoise,
-    wpt_denoise,
+    bayes_threshold, hard_threshold, mad_sigma, modwt2_denoise,
+    modwt3_denoise, modwt_denoise, modwt_denoise_inplace, soft_threshold,
+    sure_threshold, wpt2_denoise, wpt_denoise,
     universal_threshold,
 )
 from .wavelets.continuous import (  # noqa: F401

@@ -21,7 +21,7 @@ __all__ = [
     "soft_threshold", "hard_threshold", "universal_threshold",
     "sure_threshold", "bayes_threshold",
     "mad_sigma", "modwt_denoise", "modwt_denoise_inplace",
-    "modwt2_denoise", "wpt_denoise", "wpt2_denoise",
+    "modwt2_denoise", "modwt3_denoise", "wpt_denoise", "wpt2_denoise",
 ]
 
 
@@ -218,6 +218,46 @@ def modwt2_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     details = shrink(c[:n_bands], threshold)
     c = jnp.concatenate([details, c[n_bands:]], axis=0)
     return imodwt2(c, wavelet)
+
+
+def modwt3_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+                   mode: str = "soft", threshold=None) -> jax.Array:
+    """Volume denoising via the 3D MODWT (r5 — rides the fused 3D kernels
+    both directions when the shape allows).
+
+    The 3D extension of :func:`modwt2_denoise`: shrink every detail octant
+    (7 per level), keep LLL, invert.  σ is estimated from the finest
+    all-highpass octant HHH₁ (the 3D analog of the HH₁ convention — the
+    corner octant is almost pure noise); ``threshold`` defaults to the
+    universal threshold σ·√(2·ln(D·R·C)); ``'universal'``/``'sure'``/
+    ``'bayes'`` select the rule, an array is used as-is.
+    """
+    from .modwt2d import imodwt3, modwt3
+
+    x = jnp.asarray(x)
+    c = modwt3(x, wavelet, level)          # (7L+1, ..., D, R, C)
+    n_bands = 7 * level
+    vox = float(x.shape[-3] * x.shape[-2] * x.shape[-1])
+    flat = c[:n_bands].reshape((n_bands,) + c.shape[1:-3] + (-1,))
+    if threshold is None or isinstance(threshold, str):
+        kind = threshold or "universal"
+        hhh1 = c[6].reshape(c.shape[1:-3] + (-1,))  # finest corner octant
+        if kind == "universal":
+            sigma = mad_sigma(hhh1)
+            threshold = (sigma * jnp.sqrt(2.0 * jnp.log(vox))
+                         )[..., None, None, None]
+        elif kind == "sure":
+            threshold = sure_threshold(flat, mad_sigma(hhh1)
+                                       )[..., None, None, None]
+        elif kind == "bayes":
+            threshold = bayes_threshold(flat, mad_sigma(hhh1)
+                                        )[..., None, None, None]
+        else:
+            raise ValueError(f"unknown threshold rule {threshold!r}")
+    shrink = soft_threshold if mode == "soft" else hard_threshold
+    details = shrink(c[:n_bands], threshold)
+    c = jnp.concatenate([details, c[n_bands:]], axis=0)
+    return imodwt3(c, wavelet)
 
 
 def wpt_denoise(x: jax.Array, wavelet: DiscreteWavelet, level=None,

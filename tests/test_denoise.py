@@ -128,6 +128,23 @@ def test_modwt2_denoise_batched_and_zero_threshold_identity(rng):
         jw.modwt2_denoise(imgs, DB4, 2, threshold="bogus")
 
 
+def test_modwt3_denoise_identity_and_improves_volume(rng):
+    # r5: 3D extension riding the fused 3D kernels (HHH₁ σ convention)
+    zz, yy, xx = np.meshgrid(np.arange(16), np.arange(16), np.arange(16),
+                             indexing="ij")
+    clean = np.sin(xx / 4.0) * np.cos(yy / 5.0) * np.sin(zz / 3.0)
+    noisy = clean + 0.3 * rng.standard_normal(clean.shape)
+    out = np.asarray(jw.modwt3_denoise(jnp.asarray(noisy), DB4, 2,
+                                       threshold=0.0))
+    np.testing.assert_allclose(out, noisy, atol=1e-8)
+    for kind in (None, "sure", "bayes"):
+        den = np.asarray(jw.modwt3_denoise(jnp.asarray(noisy), DB4, 2,
+                                           threshold=kind))
+        mse_n = np.mean((noisy - clean) ** 2)
+        mse_d = np.mean((den - clean) ** 2)
+        assert mse_d < 0.5 * mse_n, (kind, mse_d, mse_n)
+
+
 def test_wpt_denoise_zero_threshold_identity(rng):
     # threshold=0 → shrinkage is identity → best-basis roundtrip must be PR
     x = rng.standard_normal((2, 512))
