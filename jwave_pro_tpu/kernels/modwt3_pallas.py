@@ -437,14 +437,28 @@ def imodwt3_fused(cf: jax.Array, wavelet: DiscreteWavelet,
     # are independent).
     rc = r * c
 
+    halo = _halo(m, level)
+
+    def hr_for(nr_):
+        # a whole-plane window keeps the plan's hr (0 ⇒ exact circular
+        # row shifts); any SMALLER window MUST carry a row context or the
+        # adjoint shifts wrap garbage into the last `halo` rows of every
+        # tile (code-review r5: a forward hr=0 plan whose inverse re-plan
+        # shrank nr silently corrupted rows nr-1, 2nr-1, … — reproduced
+        # at (1, 8, 96, 128) Haar L1 before this fix)
+        if nr_ == r:
+            return hr
+        return _aligned(halo, 128 // math.gcd(c, 128))
+
     def inv_fits(dt_, nr_):
-        return (4 * (21 * (dt_ + hd) * (nr_ + hr) * c
+        return (4 * (21 * (dt_ + hd) * (nr_ + hr_for(nr_)) * c
                      + 2 * dt_ * nr_ * c) + (1 << 20) <= 16 << 20)
 
     found = None
-    for nr_i in sorted({n for n in (nr, 64, 32, 16, 8)
-                        if n <= nr and n >= 8 and r % n == 0
-                        and (n * c) % 128 == 0}, reverse=True):
+    for nr_i in sorted({n for n in (nr, r, 64, 32, 16, 8)
+                        if n <= max(nr, r) and n >= 8 and r % n == 0
+                        and (n * c) % 128 == 0
+                        and (hr_for(n) * c) % 128 == 0}, reverse=True):
         for dt_i in (dt, dt // 2, 8):
             if dt_i >= 8 and d_pad % dt_i == 0 and inv_fits(dt_i, nr_i):
                 found = (dt_i, nr_i)
@@ -454,6 +468,7 @@ def imodwt3_fused(cf: jax.Array, wavelet: DiscreteWavelet,
     if found is None:
         raise ValueError(f"VMEM budget exceeded for {cf.shape}")
     dt, nr = found
+    hr = hr_for(nr)
     wl = (nr + hr) * c
     dtp = cf.dtype if cf.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
     g = tuple(np.asarray(g64, dtype=np.float32))

@@ -48,7 +48,8 @@ def _swt_invertible(n: int) -> bool:
     head is then a power of two, so both directions visit the same widths).
     """
     head = n if n % 2 == 0 else n - 1
-    return head >= 2 and (head & (head - 1)) == 0
+    # head == 0 (n == 1): both directions are no-ops — trivially exact
+    return head == 0 or (head & (head - 1)) == 0
 
 
 def _swt_check(n: int, strict: bool, name: str) -> None:

@@ -199,19 +199,26 @@ def _conv_depth(x, f, d, adjoint):
     return _conv_axis(x, f, d, -3, adjoint)
 
 
-def _try_pallas3(x, wavelet, level):
-    """Dispatch the 3D forward to the fused TPU kernel when shapes allow."""
-    if jax.default_backend() != "tpu" or x.dtype not in (jnp.float32,
+def _try_pallas3(a, wavelet, level, inverse=False):
+    """Dispatch a 3D transform to the fused TPU kernel when shapes allow
+    (one gate for both directions — code-review r5 dedup)."""
+    if jax.default_backend() != "tpu" or a.dtype not in (jnp.float32,
                                                          jnp.bfloat16):
         return None
-    if x.ndim not in (3, 4):
+    if a.ndim not in ((4, 5) if inverse else (3, 4)):
         return None
-    from ..kernels.modwt3_pallas import modwt3_fused, pallas3d_supported
+    from ..kernels.modwt3_pallas import (
+        imodwt3_fused, modwt3_fused, pallas3d_supported)
 
-    if pallas3d_supported(x.shape[-3], x.shape[-2], x.shape[-1], level,
+    if pallas3d_supported(a.shape[-3], a.shape[-2], a.shape[-1], level,
                           wavelet.length) is None:
         return None
-    return modwt3_fused(x, wavelet, level)
+    if inverse:
+        try:
+            return imodwt3_fused(a, wavelet)
+        except ValueError:
+            return None     # inverse VMEM re-plan tighter than forward
+    return modwt3_fused(a, wavelet, level)
 
 
 def modwt3(x: jax.Array, wavelet: DiscreteWavelet, level: int,
@@ -274,19 +281,9 @@ def imodwt3(coeffs: jax.Array, wavelet: DiscreteWavelet,
             f"{coeffs.shape[0]}")
     level = (coeffs.shape[0] - 1) // 7
     if method in ("auto", "pallas"):
-        if (jax.default_backend() == "tpu"
-                and coeffs.dtype in (jnp.float32, jnp.bfloat16)
-                and coeffs.ndim in (4, 5)):
-            from ..kernels.modwt3_pallas import (
-                imodwt3_fused, pallas3d_supported)
-
-            if pallas3d_supported(coeffs.shape[-3], coeffs.shape[-2],
-                                  coeffs.shape[-1], level,
-                                  wavelet.length) is not None:
-                try:
-                    return imodwt3_fused(coeffs, wavelet)
-                except ValueError:
-                    pass        # inverse VMEM budget tighter than forward
+        out = _try_pallas3(coeffs, wavelet, level, inverse=True)
+        if out is not None:
+            return out
         if method == "pallas":
             raise ValueError(
                 f"fused 3D inverse unavailable for shape {coeffs.shape} "

@@ -125,12 +125,19 @@ def _gram_lag_table(wavelet: DiscreteWavelet, level: int, n: int):
     K=64 N=64K).  Inner products of shift-invariant atoms depend only on
     (node_j, node_k, t_j − t_k), so the whole Gram geometry fits in this
     ~25 KB host table and the row becomes a K-element gather.
+
+    Built from the COMPACT (2^L, S) support windows with length-2S FFTs
+    — a length-N outer product would be an O(4^L·N) host blowup (2 GB at
+    L=6, N=64K; code-review r5).  Zero-padding to 2S makes the circular
+    correlation equal the linear one on every needed lag; equality with
+    the length-N form holds because atoms ≥ 2S apart never overlap (the
+    caller gates on n ≥ 2S).
     """
-    rev, _ = _atom_tables(wavelet, level, n)
-    s = min((wavelet.length - 1) * ((1 << level) - 1) + 1, n)
-    spec = np.fft.rfft(rev, axis=-1)
-    cc = np.fft.irfft(np.conj(spec[:, None]) * spec[None, :], n=n, axis=-1)
-    lags = np.arange(-(s - 1), s) % n
+    win, s = _support_window_table(wavelet, level, n)
+    p = 2 * s
+    spec = np.fft.rfft(win, n=p, axis=-1)
+    cc = np.fft.irfft(np.conj(spec[:, None]) * spec[None, :], n=p, axis=-1)
+    lags = np.arange(-(s - 1), s) % p
     return cc[:, :, lags], s
 
 
@@ -329,10 +336,14 @@ def matching_pursuit(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     amp_tol = 50 * jnp.finfo(x.dtype).eps * jnp.linalg.norm(x, axis=-1)
 
     # Gram rows from the lag table (see _gram_lag_table) when the signal
-    # is long enough that clipped circular lags are unambiguous.
-    gram_np, s_g = _gram_lag_table(wavelet, level, n)
+    # is long enough that clipped circular lags are unambiguous (table
+    # built lazily — only when actually usable).
+    s_g = min((wavelet.length - 1) * ((1 << level) - 1) + 1, n)
     use_gram_tab = n >= 2 * s_g
-    gram_tab = jnp.asarray(gram_np, dtype=x.dtype) if use_gram_tab else None
+    gram_tab = None
+    if use_gram_tab:
+        gram_np, s_g = _gram_lag_table(wavelet, level, n)
+        gram_tab = jnp.asarray(gram_np, dtype=x.dtype)
     nodes0 = jnp.zeros(batch + (k_tot,), jnp.int32)
     ts0 = jnp.zeros(batch + (k_tot,), jnp.int32)
     live0 = jnp.zeros(batch + (k_tot,), bool)

@@ -24,9 +24,15 @@ jax.config.update("jax_enable_x64", True)
 # Persistent CPU compilation cache (r5 suite diet): the suite is compile-
 # bound and its shapes are stable across runs, so repeat runs on the same
 # box skip most XLA work.  Safe to delete; first run repopulates it.
+# User-scoped path: a fixed /tmp name on a shared box would be owned by
+# whoever ran first (write failures + cross-user poisoning).
+import getpass  # noqa: E402
+
+_cache_default = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"),
+    f"jwave_test_comp_cache_{getpass.getuser()}")
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JWAVE_TEST_CACHE_DIR",
-                                 "/tmp/jwave_test_comp_cache"))
+                  os.environ.get("JWAVE_TEST_CACHE_DIR", _cache_default))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.devices()[0].platform == "cpu", jax.devices()
 

@@ -183,7 +183,7 @@ class TestSWTQuirk:
 
     def test_strict_accepts_good_lengths(self, rng):
         w = jw.wavelet("Haar")
-        for n in (32, 33, 2, 9):
+        for n in (32, 33, 2, 9, 1):    # n=1: both directions no-op
             x = rng.standard_normal(n)
             y = jw.swt_forward(x, w, strict=True)
             back = np.asarray(jw.swt_inverse(y, w, strict=True))

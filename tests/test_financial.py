@@ -58,6 +58,12 @@ def test_median_select_matches_np_median(rng):
     np.testing.assert_array_equal(
         np.asarray(jw.median_select(jnp.asarray(x), axis=0)),
         np.median(x, axis=0))
+    # NaN propagates per row, like jnp.median (code-review r5: keys sort
+    # NaN above +inf, which silently biased gappy rows before the guard)
+    xn = rng.standard_normal((2, 9))
+    xn[0, 3] = np.nan
+    m = np.asarray(jw.median_select(jnp.asarray(xn)))
+    assert np.isnan(m[0]) and m[1] == np.median(xn[1])
 
 
 def test_matmul_cumsum_matches_jnp(rng):

@@ -462,6 +462,20 @@ class TestModwt3Fused:
             jw.modwt3(np.zeros((16, 9, 9), np.float32),
                       jw.wavelet("Daubechies 4"), 2, method="pallas")
 
+    def test_inverse_replan_keeps_row_context(self, rng):
+        # code-review r5 repro: a whole-plane (hr=0) forward plan whose
+        # inverse VMEM re-plan shrinks nr must regain a row context —
+        # without it the adjoint shifts wrapped garbage into the last
+        # halo rows of every lane tile (err was 3.29 at this shape)
+        from jwave_pro_tpu.kernels.modwt3_pallas import (
+            imodwt3_fused, modwt3_fused, pallas3d_supported)
+        haar = jw.wavelet("Haar")
+        p = pallas3d_supported(8, 96, 128, 1, 2)
+        assert p is not None and p.hr == 0 and p.nr == 96
+        x = rng.standard_normal((1, 8, 96, 128)).astype(np.float32)
+        back = np.asarray(imodwt3_fused(modwt3_fused(x, haar, 1), haar))
+        np.testing.assert_allclose(back, x, atol=1e-4)
+
     def test_lane_tiled_plan_parity(self, rng):
         # an hr>0 plan (plane too big for one window): row creep must stay
         # inside the context and both directions must match the XLA path
