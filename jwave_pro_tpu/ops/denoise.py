@@ -318,7 +318,7 @@ def wpt_denoise(x: jax.Array, wavelet: DiscreteWavelet, level=None,
 
 def wpt2_denoise(x: jax.Array, wavelet: DiscreteWavelet, level=None,
                  cost: str = "sure", mode: str = "soft",
-                 threshold=None) -> jax.Array:
+                 threshold=None, per_sample: bool = False) -> jax.Array:
     """2D best-basis packet denoising (quad-tree analog of
     :func:`wpt_denoise`).
 
@@ -331,7 +331,8 @@ def wpt2_denoise(x: jax.Array, wavelet: DiscreteWavelet, level=None,
 
     x = jnp.asarray(x)
     r, c = x.shape[-2], x.shape[-1]
-    masks, _, tree = best_basis2(x, wavelet, level, cost)
+    masks, _, tree = best_basis2(x, wavelet, level, cost,
+                                 per_sample=per_sample)
     flat = basis_coefficients2(tree, masks)
     if threshold is None:
         hh1 = tree[1][..., r // 2:, c // 2:]
@@ -344,6 +345,7 @@ def wpt2_denoise(x: jax.Array, wavelet: DiscreteWavelet, level=None,
     cols = jnp.arange(c)[None, :]
     keep = jnp.zeros((r, c), dtype=bool)
     for l, m in enumerate(masks):
-        keep = keep | (m[0, 0] & (rows < (r >> l)) & (cols < (c >> l)))
+        keep = keep | (m[..., 0:1, 0:1] & (rows < (r >> l))
+                       & (cols < (c >> l)))
     out = jnp.where(keep, flat, shrunk)
     return basis_reconstruct2(out, masks, wavelet)

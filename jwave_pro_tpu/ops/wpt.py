@@ -473,55 +473,63 @@ def wpt2_tree(x: jax.Array, wavelet: DiscreteWavelet, level=None
 
 
 def best_basis2(x: jax.Array, wavelet: DiscreteWavelet, level=None,
-                cost: str = "shannon"):
+                cost: str = "shannon", per_sample: bool = False):
     """Quad-tree Coifman–Wickerhauser best basis for images.
 
     Returns ``(masks, total_cost, tree)``: ``masks[l]`` is a boolean
     ``(2^l, 2^l)`` grid — True where packet (l, i, j) is a leaf of the
     optimal basis; ``tree`` the :func:`wpt2_tree` array.  Batched input
-    selects one basis for the whole batch (costs summed over leading axes).
+    selects one basis for the whole batch (costs summed over leading
+    axes) — unless ``per_sample=True`` (r5, the 2D analog of
+    :func:`best_basis`'s option): the quad-tree DP runs vectorized over
+    the batch and every image gets its own basis (masks shaped
+    ``(batch…, 2^l, 2^l)``).
     """
     x = jnp.asarray(x)
     r, c = x.shape[-2], x.shape[-1]
     level = _resolve_level2(r, c, level, wavelet)
     cost_fn = _COSTS[cost] if isinstance(cost, str) else cost
     tree = wpt2_tree(x, wavelet, level)
+    lead = x.shape[:-2] if per_sample else ()
 
     costs = []
     for l in range(level + 1):
         hr, hc = r >> l, c >> l
-        row = tree[l].reshape((-1, 1 << l, hr, 1 << l, hc))
-        blocks = jnp.swapaxes(row, -3, -2)       # (batch, 2^l, 2^l, hr, hc)
+        head = lead if per_sample else (-1,)
+        row = tree[l].reshape(head + (1 << l, hr, 1 << l, hc))
+        blocks = jnp.swapaxes(row, -3, -2)       # (…, 2^l, 2^l, hr, hc)
         flat = blocks.reshape(blocks.shape[:-2] + (hr * hc,))
-        costs.append(jnp.sum(cost_fn(flat, axis=-1), axis=0))  # (2^l, 2^l)
+        cst = cost_fn(flat, axis=-1)             # (…, 2^l, 2^l)
+        costs.append(cst if per_sample else jnp.sum(cst, axis=0))
 
     best = costs[level]
     split = []
     for l in range(level - 1, -1, -1):
         p = 1 << l
-        quads = best.reshape((p, 2, p, 2))
-        children = quads.sum(axis=(1, 3))
+        quads = best.reshape(lead + (p, 2, p, 2))
+        children = quads.sum(axis=(-3, -1))
         take = children < costs[l]
         split.append(take)
         best = jnp.where(take, children, costs[l])
     split.reverse()
 
     masks = []
-    reach = jnp.ones((1, 1), dtype=bool)
+    reach = jnp.ones(lead + (1, 1), dtype=bool)
     for l in range(level + 1):
         if l < level:
             leaf = reach & ~split[l]
             nxt = reach & split[l]
-            reach = jnp.repeat(jnp.repeat(nxt, 2, axis=0), 2, axis=1)
+            reach = jnp.repeat(jnp.repeat(nxt, 2, axis=-2), 2, axis=-1)
         else:
             leaf = reach
         masks.append(leaf)
-    return masks, best[0, 0], tree
+    return masks, best[..., 0, 0], tree
 
 
 def _mask_to_pixels2(mask: jax.Array, r: int, c: int) -> jax.Array:
-    p = mask.shape[0]
-    return jnp.repeat(jnp.repeat(mask, r // p, axis=0), c // p, axis=1)
+    # batched (per-sample) masks broadcast their leading axes
+    p = mask.shape[-1]
+    return jnp.repeat(jnp.repeat(mask, r // p, axis=-2), c // p, axis=-1)
 
 
 def basis_coefficients2(tree: jax.Array, masks) -> jax.Array:

@@ -182,6 +182,24 @@ def test_wpt_denoise_per_sample_equals_singleton_loop(rng):
                for lvl in range(len(m_b)))
 
 
+def test_wpt2_denoise_per_sample_equals_singleton_loop(rng):
+    # r5: the 2D analog — quad-tree DP vectorized over the batch
+    xg, yg = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    x0 = np.sin(xg * 1.1) * np.sin(yg * 1.3) \
+        + 0.2 * rng.standard_normal((64, 64))
+    x1 = (xg + yg) / 64.0 + 0.2 * rng.standard_normal((64, 64))
+    X = jnp.asarray(np.stack([x0, x1]))
+    ps = np.asarray(jw.wpt2_denoise(X, DB4, 3, mode="hard",
+                                    per_sample=True))
+    loop = np.stack([np.asarray(jw.wpt2_denoise(X[i], DB4, 3, mode="hard"))
+                     for i in range(2)])
+    np.testing.assert_allclose(ps, loop, atol=1e-10)
+    m_b, _, _ = jw.best_basis2(X, DB4, 3, per_sample=True)
+    assert any(not np.array_equal(np.asarray(m_b[lvl][0]),
+                                  np.asarray(m_b[lvl][1]))
+               for lvl in range(len(m_b)))
+
+
 def test_wpt_denoise_reduces_mse_and_beats_noise(rng):
     # two interfering tones + transient: the packet basis isolates the
     # tonal structure; denoising must cut MSE substantially
