@@ -430,12 +430,15 @@ def bench_modwt2(batch=8, n=512, level=3, method="auto", dtype=jnp.float32):
     return x.size / _time_chain(step, x)
 
 
-def bench_modwt2_denoise(batch=8, n=512, level=3):
+def bench_modwt2_denoise(batch=8, n=512, level=3, method="auto"):
     """2D image denoise (undecimated): pixels/s."""
     w = jw.wavelet("Daubechies 4")
     x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n)),
                     jnp.float32)
-    dt = _time_chain(lambda v: jw.modwt2_denoise(v, w, level, threshold=0.8),
+    thr = (jnp.full((batch,), 0.8, jnp.float32) if method == "fused"
+           else 0.8)
+    dt = _time_chain(lambda v: jw.modwt2_denoise(v, w, level, threshold=thr,
+                                                 method=method),
                      x)
     return batch * n * n / dt
 
@@ -521,6 +524,8 @@ def main():
         run("modwt2_bf16_512", lambda: bench_modwt2(dtype=jnp.bfloat16))
         run("modwt2_fwd_xla_512", lambda: bench_modwt2(method="direct"))
         run("modwt2_denoise_512", bench_modwt2_denoise)
+        run("modwt2_denoise_fused_512",
+            lambda: bench_modwt2_denoise(method="fused"))
     value = results["modwt_db4_L5"]
     print(json.dumps({
         "metric": "modwt_db4_level5_samples_per_sec_per_chip",

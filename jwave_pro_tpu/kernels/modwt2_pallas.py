@@ -48,7 +48,8 @@ from ..wavelets.base import DiscreteWavelet
 from ..ops.modwt import modwt_base_filters
 from .modwt_pallas import _f32
 
-__all__ = ["modwt2_fused", "imodwt2_fused", "pallas2d_supported"]
+__all__ = ["modwt2_fused", "imodwt2_fused", "pallas2d_supported",
+           "modwt2_denoise_fused", "denoise2_fused_supported"]
 
 
 class Plan2(typing.NamedTuple):
@@ -402,4 +403,187 @@ def imodwt2_fused(c: jax.Array, wavelet: DiscreteWavelet,
         interpret=interp,
     )(cp.astype(dt))
     out = out[..., :r0, :c0]
+    return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Single-pass fused 2D denoise (r5): forward → shrink → inverse in VMEM
+# ---------------------------------------------------------------------------
+
+def denoise2_fused_supported(r: int, c: int, level: int, m: int):
+    """Plan for :func:`modwt2_denoise_fused` — the window carries context
+    on ALL FOUR sides (analysis creep from top/left, adjoint creep from
+    bottom/right), and the whole (3L+1)-band set stays live in VMEM
+    between the cascades, so the feasible tiles are smaller than the
+    transform kernels'.  Exact tilings only."""
+    if level < 1:
+        return None
+    halo = _halo(m, level)
+    hr = _aligned(halo, 8)
+    hc = _aligned(halo, 128)
+    if 2 * hr >= r or 2 * hc >= c:
+        return None
+    for rt in (128, 64, 32, 16, 8):
+        if r % rt:
+            continue
+        for ct in (512, 256, 128):
+            if c % ct:
+                continue
+            win = (rt + 2 * hr) * (ct + 2 * hc)
+            out = rt * ct
+            # live set ≈ input dbuf (2) + 3L detail windows + carry +
+            # ~2 accumulator temps, + double-buffered output block
+            if 4 * ((3 * level + 5) * win + 2 * out) <= 12 << 20:
+                return Plan2(rt, ct, hr, hc, r, c)
+    return None
+
+
+def _denoise2_kernel(x_hbm, thr_hbm, out_ref, bufs, sems, *, g, h, level,
+                     hr, hc, rt, ct, n_i, n_j, mode, out_dtype):
+    """One grid step: window (rt+2hr, ct+2hc) → denoised tile (rt, ct).
+
+    Analysis garbage wraps in from the top/left (≤ halo), the adjoint's
+    from the bottom/right — the two-sided window keeps the CENTER tile
+    exact (the 1D denoise kernel's argument, per axis)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    m_len = len(g)
+    rows, cols = rt + 2 * hr, ct + 2 * hc
+    step = (b * n_i + i) * n_j + j
+    slot = step % 2
+    total = pl.num_programs(0) * n_i * n_j
+
+    def dma(sl, bb, ii, jj):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * rt, rows), pl.ds(jj * ct, cols)],
+            bufs.at[sl], sems.at[sl])
+
+    @pl.when(step == 0)
+    def _():
+        dma(slot, b, i, j).start()
+
+    last_j = j == n_j - 1
+    last_i = i == n_i - 1
+    nxt_j = jnp.where(last_j, 0, j + 1)
+    nxt_i = jnp.where(last_j, jnp.where(last_i, 0, i + 1), i)
+    nxt_b = jnp.where(last_j & last_i, b + 1, b)
+
+    @pl.when(step + 1 < total)
+    def _():
+        dma((step + 1) % 2, nxt_b, nxt_i, nxt_j).start()
+
+    dma(slot, b, i, j).wait()
+    thr = jnp.max(thr_hbm[...])          # (1, 8, 128) block → scalar
+
+    v = _f32(bufs[slot])
+    details = []                          # (lh, hl, hh) per level
+    for lvl in range(1, level + 1):
+        d = 1 << (lvl - 1)
+        cl = ch = None
+        for k in range(m_len):
+            seg = pltpu.roll(v, k * d, 1) if k else v
+            tcl, tch = g[k] * seg, h[k] * seg
+            cl = tcl if cl is None else cl + tcl
+            ch = tch if ch is None else ch + tch
+        ll = hl = lh = hh = None
+        for k in range(m_len):
+            scl = pltpu.roll(cl, k * d, 0) if k else cl
+            sch = pltpu.roll(ch, k * d, 0) if k else ch
+            tll, thl = g[k] * scl, h[k] * scl
+            tlh, thh = g[k] * sch, h[k] * sch
+            ll = tll if ll is None else ll + tll
+            hl = thl if hl is None else hl + thl
+            lh = tlh if lh is None else lh + tlh
+            hh = thh if hh is None else hh + thh
+        details.append((lh, hl, hh))
+        v = ll
+
+    def shrink(w_band):
+        if mode == "soft":
+            return jnp.sign(w_band) * jnp.maximum(jnp.abs(w_band) - thr, 0.0)
+        return jnp.where(jnp.abs(w_band) > thr, w_band, 0.0)
+
+    for lvl in range(level, 0, -1):
+        d = 1 << (lvl - 1)
+        lh, hl, hh = (shrink(w) for w in details[lvl - 1])
+        cl = ch = None
+        for k in range(m_len):
+            tl = g[k] * v + h[k] * hl
+            th = g[k] * lh + h[k] * hh
+            if k:
+                tl = pltpu.roll(tl, rows - k * d, 0)
+                th = pltpu.roll(th, rows - k * d, 0)
+            cl = tl if cl is None else cl + tl
+            ch = th if ch is None else ch + th
+        acc = None
+        for k in range(m_len):
+            t = g[k] * cl + h[k] * ch
+            if k:
+                t = pltpu.roll(t, cols - k * d, 1)
+            acc = t if acc is None else acc + t
+        v = acc
+    out_ref[0] = v[hr:hr + rt, hc:hc + ct].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "level", "mode",
+                                             "interpret"))
+def modwt2_denoise_fused(x: jax.Array, thr: jax.Array,
+                         wavelet: DiscreteWavelet, level: int,
+                         mode: str = "soft",
+                         interpret: bool | None = None) -> jax.Array:
+    """Single-pass fused 2D denoise: (B, R, C) or (R, C) + per-image
+    threshold (B,) → denoised image(s).  ~2 HBM passes instead of the
+    two-kernel pipeline's 2·(3L+1)+2; semantics = shrink every detail
+    band, keep LL (ops/denoise.modwt2_denoise with a fixed threshold).
+    Raises for unsupported shapes (:func:`denoise2_fused_supported`)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    if x.ndim != 3:
+        raise ValueError("modwt2_denoise_fused expects (B, R, C) or (R, C)")
+    bsz, r0, c0 = x.shape
+    g64, h64 = modwt_base_filters(wavelet)
+    m = int(g64.shape[0])
+    sup = denoise2_fused_supported(r0, c0, level, m)
+    if sup is None:
+        raise ValueError(f"unsupported shape {x.shape} for fused 2D denoise")
+    rt, ct, hr, hc, _, _ = sup
+    dt = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+    g = tuple(np.asarray(g64, dtype=np.float32))
+    h = tuple(np.asarray(h64, dtype=np.float32))
+    # four-sided circular context: append bottom/right, then prepend
+    # top/left (both mod the ORIGINAL dims)
+    xp = _circular_pad2_right(x.astype(dt), hr, hc, r0, c0)
+    xp = _circular_pad2(xp, hr, hc, r0, c0)
+    thr_arr = jnp.broadcast_to(
+        jnp.asarray(thr, jnp.float32).reshape(-1, 1, 1), (bsz, 8, 128))
+    n_i, n_j = r0 // rt, c0 // ct
+
+    kernel = functools.partial(_denoise2_kernel, g=g, h=h, level=level,
+                               hr=hr, hc=hc, rt=rt, ct=ct, n_i=n_i, n_j=n_j,
+                               mode=mode, out_dtype=dt)
+    interp = (jax.default_backend() != "tpu" if interpret is None
+              else interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_i, n_j),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, 8, 128), lambda b, i, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, rt, ct), lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, r0, c0), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, rt + 2 * hr, ct + 2 * hc), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interp,
+    )(xp, thr_arr)
     return out[0] if squeeze else out

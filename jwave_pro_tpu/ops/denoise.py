@@ -181,7 +181,8 @@ def modwt_denoise_inplace(x: jax.Array, wavelet: DiscreteWavelet, level: int,
 
 
 def modwt2_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
-                   mode: str = "soft", threshold=None) -> jax.Array:
+                   mode: str = "soft", threshold=None,
+                   method: str = "auto") -> jax.Array:
     """Image denoising via the 2D MODWT (undecimated, shift-invariant).
 
     The 2D extension of :func:`modwt_denoise` (``MODWTExample.java:125-172``
@@ -191,10 +192,40 @@ def modwt2_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     pure noise) — and ``threshold`` defaults to the universal threshold
     σ·√(2·ln(R·C)); the strings ``'universal'``, ``'sure'``, ``'bayes'``
     select the rule applied per band, an array is used as-is.
+
+    ``method='fused'`` (r5) runs forward → shrink → inverse as ONE
+    Pallas kernel (kernels/modwt2_pallas.modwt2_denoise_fused): the
+    (3L+1)-band coefficient set never touches HBM — ~2 image passes
+    instead of the two-kernel pipeline's 2·(3L+2).  Scalar-per-image
+    thresholds only (the default universal rule costs one extra
+    1-level pass, like the 1D fused path); per-band rules
+    ('sure'/'bayes') and the CPU/odd-shape cases keep the two-kernel
+    pipeline.
     """
     from .modwt2d import imodwt2, modwt2
 
     x = jnp.asarray(x)
+    if method == "fused":
+        from ..kernels.modwt2_pallas import modwt2_denoise_fused
+
+        xf = x[None] if x.ndim == 2 else x
+        if xf.ndim != 3:
+            raise ValueError("method='fused' supports (R, C) or (B, R, C)")
+        if threshold is None or threshold == "universal":
+            hh1 = modwt2(xf, wavelet, 1, method="direct")[2]
+            sigma = mad_sigma(hh1.reshape(hh1.shape[0], -1))
+            threshold = sigma * jnp.sqrt(
+                2.0 * jnp.log(float(xf.shape[-2] * xf.shape[-1])))
+        elif isinstance(threshold, str):
+            raise ValueError(
+                "method='fused' supports scalar-per-image thresholds "
+                f"(None/'universal'/array), not {threshold!r}")
+        thr = jnp.broadcast_to(jnp.asarray(threshold, jnp.float32).ravel(),
+                               (xf.shape[0],))
+        out = modwt2_denoise_fused(xf, thr, wavelet, level, mode)
+        return out[0] if x.ndim == 2 else out
+    if method not in ("auto", "direct"):
+        raise ValueError(f"unknown method {method!r}")
     c = modwt2(x, wavelet, level)          # (3L+1, ..., R, C)
     n_bands = 3 * level
     r, ccols = x.shape[-2], x.shape[-1]

@@ -739,6 +739,39 @@ class TestPaddedDispatchSweep:
         assert np.max(np.abs(got - want)) < 5e-2
 
 
+class TestDenoise2Fused:
+    """r5 single-pass 2D denoise: fwd → shrink → inv in one VMEM pass,
+    four-sided window context (kernel-only A/B on chip: 2.4×)."""
+
+    @pytest.mark.parametrize("mode", ["soft", "hard"])
+    def test_matches_two_kernel_pipeline(self, mode, rng):
+        from jwave_pro_tpu.kernels.modwt2_pallas import modwt2_denoise_fused
+        w = jw.wavelet("Daubechies 4")
+        x = jnp.asarray(rng.standard_normal((2, 64, 512)), jnp.float32)
+        thr = jnp.asarray([0.5, 1.0], jnp.float32)
+        got = np.asarray(modwt2_denoise_fused(x, thr, w, 2, mode,
+                                              interpret=True))
+        want = np.asarray(jw.modwt2_denoise(
+            x, w, 2, mode=mode, threshold=jnp.asarray([[[0.5]], [[1.0]]])))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_dispatcher_universal_threshold(self, rng):
+        w = jw.wavelet("Daubechies 4")
+        x = jnp.asarray(rng.standard_normal((2, 64, 512)), jnp.float32)
+        d1 = np.asarray(jw.modwt2_denoise(x, w, 2, method="fused"))
+        d2 = np.asarray(jw.modwt2_denoise(x, w, 2))
+        np.testing.assert_allclose(d1, d2, atol=2e-5)
+        with np.testing.assert_raises(ValueError):
+            jw.modwt2_denoise(x, w, 2, method="fused", threshold="sure")
+
+    def test_plan_gates(self):
+        from jwave_pro_tpu.kernels.modwt2_pallas import (
+            denoise2_fused_supported)
+        assert denoise2_fused_supported(512, 512, 3, 8) is not None
+        # two-sided lane context needs C > 256
+        assert denoise2_fused_supported(64, 256, 2, 8) is None
+
+
 class TestSelectFused:
     """Fused correlation-argmax kernel (MP's select stage, r4)."""
 

@@ -336,6 +336,17 @@ def main():
     err = float(jax.jit(_sel_err)(xsel))
     ok &= check("fused MP select padded N=100003 ≡ coeff path", err, 1e-30)
 
+    # r5 single-pass 2D denoise: forward -> shrink -> inverse in one
+    # VMEM pass (four-sided window context) must be BIT-exact vs the
+    # two-kernel pipeline at a fixed threshold
+    thr4 = jnp.full((4,), 0.8, jnp.float32)
+    err = float(jax.jit(lambda v: jnp.max(jnp.abs(
+        jw.modwt2_denoise(v, w, 2, method="fused", threshold=thr4)
+        - jw.modwt2_denoise(v, w, 2,
+                            threshold=thr4[:, None, None]))))(
+        x.reshape(4, 64, 512)))
+    ok &= check("fused 2D denoise ≡ two-kernel pipeline", err, 1e-30)
+
     # sort-free exact median (financial winsorize, VERDICT r4 #4): the
     # bitwise selection must equal the sort-based jnp.median ON CHIP
     # (even N → mean of two middles; odd slice → single element)
