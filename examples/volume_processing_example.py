@@ -18,9 +18,8 @@ import numpy as np
 import jwave_pro_tpu as jw
 
 
-def make_volume(n=32, rng=None):
+def make_volume(n=32):
     """Piecewise-smooth test volume: a ball + an oriented 3D texture."""
-    rng = rng or np.random.default_rng(0)
     zg, xg, yg = np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
                              indexing="ij")
     ball = (((zg - n / 2) ** 2 + (xg - n / 2) ** 2 + (yg - n / 2) ** 2)
@@ -32,7 +31,7 @@ def make_volume(n=32, rng=None):
 def main():
     rng = np.random.default_rng(7)
     w = jw.wavelet("Daubechies 4")
-    clean = make_volume(32, rng)
+    clean = make_volume(32)
     noisy = clean + 0.3 * rng.standard_normal(clean.shape)
 
     # --- 3D MODWT analysis: 7 detail octants per level + LLL ----------

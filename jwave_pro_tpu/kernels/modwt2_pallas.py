@@ -127,6 +127,68 @@ def pallas2d_supported(r: int, c: int, level: int, m: int) -> Plan2 | None:
     return best
 
 
+def _next_bij(b, i, j, n_i, n_j):
+    """Linear successor of grid position (b, i, j) for DMA prefetch."""
+    last_j = j == n_j - 1
+    last_i = i == n_i - 1
+    nxt_j = jnp.where(last_j, 0, j + 1)
+    nxt_i = jnp.where(last_j, jnp.where(last_i, 0, i + 1), i)
+    nxt_b = jnp.where(last_j & last_i, b + 1, b)
+    return nxt_b, nxt_i, nxt_j
+
+
+def _level_analysis2(v, g, h, d):
+    """One 2D analysis level on a window: lane pass (columns, shared rolls
+    for the (g, h) pair) then sublane pass (rows).  Returns (ll, hl, lh,
+    hh), letters (row, col).  Shared by the forward and single-pass
+    denoise kernels — op order is part of the bit-exactness contract."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = len(g)
+    cl = ch = None
+    for k in range(m):
+        seg = pltpu.roll(v, k * d, 1) if k else v
+        tcl, tch = g[k] * seg, h[k] * seg
+        cl = tcl if cl is None else cl + tcl
+        ch = tch if ch is None else ch + tch
+    ll = hl = lh = hh = None
+    for k in range(m):
+        scl = pltpu.roll(cl, k * d, 0) if k else cl
+        sch = pltpu.roll(ch, k * d, 0) if k else ch
+        tll, thl = g[k] * scl, h[k] * scl
+        tlh, thh = g[k] * sch, h[k] * sch
+        ll = tll if ll is None else ll + tll
+        hl = thl if hl is None else hl + thl
+        lh = tlh if lh is None else lh + tlh
+        hh = thh if hh is None else hh + thh
+    return ll, hl, lh, hh
+
+
+def _level_adjoint2(ll, hl, lh, hh, g, h, d, hgt, wid):
+    """One 2D adjoint level (combine siblings BEFORE rolling — one roll
+    per tap per pair): undo the row pass, then the column pass.  Shared
+    by the inverse and single-pass denoise kernels."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = len(g)
+    cl = ch = None
+    for k in range(m):
+        tl = g[k] * ll + h[k] * hl
+        th = g[k] * lh + h[k] * hh
+        if k:
+            tl = pltpu.roll(tl, hgt - k * d, 0)
+            th = pltpu.roll(th, hgt - k * d, 0)
+        cl = tl if cl is None else cl + tl
+        ch = th if ch is None else ch + th
+    acc = None
+    for k in range(m):
+        t = g[k] * cl + h[k] * ch
+        if k:
+            t = pltpu.roll(t, wid - k * d, 1)
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def _fwd2_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
                  n_i, n_j, out_dtype):
     from jax.experimental import pallas as pl
@@ -149,12 +211,7 @@ def _fwd2_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
     def _():
         dma(slot, b, i, j).start()
 
-    # linear successor (b, i, j) for the prefetch
-    last_j = j == n_j - 1
-    last_i = i == n_i - 1
-    nxt_j = jnp.where(last_j, 0, j + 1)
-    nxt_i = jnp.where(last_j, jnp.where(last_i, 0, i + 1), i)
-    nxt_b = jnp.where(last_j & last_i, b + 1, b)
+    nxt_b, nxt_i, nxt_j = _next_bij(b, i, j, n_i, n_j)
 
     @pl.when(step + 1 < total)
     def _():
@@ -166,24 +223,7 @@ def _fwd2_kernel(x_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
     v = _f32(bufs[slot])
     for lvl in range(1, level + 1):
         d = 1 << (lvl - 1)
-        # lane pass (columns): shared rolls for the (g, h) pair
-        cl = ch = None
-        for k in range(m):
-            seg = pltpu.roll(v, k * d, 1) if k else v
-            tcl, tch = g[k] * seg, h[k] * seg
-            cl = tcl if cl is None else cl + tcl
-            ch = tch if ch is None else ch + tch
-        # sublane pass (rows)
-        ll = hl = lh = hh = None
-        for k in range(m):
-            scl = pltpu.roll(cl, k * d, 0) if k else cl
-            sch = pltpu.roll(ch, k * d, 0) if k else ch
-            tll, thl = g[k] * scl, h[k] * scl
-            tlh, thh = g[k] * sch, h[k] * sch
-            ll = tll if ll is None else ll + tll
-            hl = thl if hl is None else hl + thl
-            lh = tlh if lh is None else lh + tlh
-            hh = thh if hh is None else hh + thh
+        ll, hl, lh, hh = _level_analysis2(v, g, h, d)
         base = 3 * (lvl - 1)
         out_ref[base + 0, 0] = lh[hr:, hc:].astype(out_dtype)
         out_ref[base + 1, 0] = hl[hr:, hc:].astype(out_dtype)
@@ -295,11 +335,7 @@ def _inv2_kernel(c_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
     def _():
         dma(slot, b, i, j).start()
 
-    last_j = j == n_j - 1
-    last_i = i == n_i - 1
-    nxt_j = jnp.where(last_j, 0, j + 1)
-    nxt_i = jnp.where(last_j, jnp.where(last_i, 0, i + 1), i)
-    nxt_b = jnp.where(last_j & last_i, b + 1, b)
+    nxt_b, nxt_i, nxt_j = _next_bij(b, i, j, n_i, n_j)
 
     @pl.when(step + 1 < total)
     def _():
@@ -314,24 +350,7 @@ def _inv2_kernel(c_hbm, out_ref, bufs, sems, *, g, h, level, hr, hc, rt, ct,
         d = 1 << (lvl - 1)
         base = 3 * (lvl - 1)
         lh, hl, hh = (_f32(c[base]), _f32(c[base + 1]), _f32(c[base + 2]))
-        # undo row pass (adjoint reads forward → left-roll via size − k·d)
-        cl = ch = None
-        for k in range(m):
-            tl = g[k] * ll + h[k] * hl
-            th = g[k] * lh + h[k] * hh
-            if k:
-                tl = pltpu.roll(tl, hgt - k * d, 0)
-                th = pltpu.roll(th, hgt - k * d, 0)
-            cl = tl if cl is None else cl + tl
-            ch = th if ch is None else ch + th
-        # undo column pass
-        acc = None
-        for k in range(m):
-            t = g[k] * cl + h[k] * ch
-            if k:
-                t = pltpu.roll(t, wid - k * d, 1)
-            acc = t if acc is None else acc + t
-        ll = acc
+        ll = _level_adjoint2(ll, hl, lh, hh, g, h, d, hgt, wid)
     out_ref[0] = ll[:rt, :ct].astype(out_dtype)
 
 
@@ -451,7 +470,6 @@ def _denoise2_kernel(x_hbm, thr_hbm, out_ref, bufs, sems, *, g, h, level,
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    m_len = len(g)
     rows, cols = rt + 2 * hr, ct + 2 * hc
     step = (b * n_i + i) * n_j + j
     slot = step % 2
@@ -466,11 +484,7 @@ def _denoise2_kernel(x_hbm, thr_hbm, out_ref, bufs, sems, *, g, h, level,
     def _():
         dma(slot, b, i, j).start()
 
-    last_j = j == n_j - 1
-    last_i = i == n_i - 1
-    nxt_j = jnp.where(last_j, 0, j + 1)
-    nxt_i = jnp.where(last_j, jnp.where(last_i, 0, i + 1), i)
-    nxt_b = jnp.where(last_j & last_i, b + 1, b)
+    nxt_b, nxt_i, nxt_j = _next_bij(b, i, j, n_i, n_j)
 
     @pl.when(step + 1 < total)
     def _():
@@ -483,22 +497,7 @@ def _denoise2_kernel(x_hbm, thr_hbm, out_ref, bufs, sems, *, g, h, level,
     details = []                          # (lh, hl, hh) per level
     for lvl in range(1, level + 1):
         d = 1 << (lvl - 1)
-        cl = ch = None
-        for k in range(m_len):
-            seg = pltpu.roll(v, k * d, 1) if k else v
-            tcl, tch = g[k] * seg, h[k] * seg
-            cl = tcl if cl is None else cl + tcl
-            ch = tch if ch is None else ch + tch
-        ll = hl = lh = hh = None
-        for k in range(m_len):
-            scl = pltpu.roll(cl, k * d, 0) if k else cl
-            sch = pltpu.roll(ch, k * d, 0) if k else ch
-            tll, thl = g[k] * scl, h[k] * scl
-            tlh, thh = g[k] * sch, h[k] * sch
-            ll = tll if ll is None else ll + tll
-            hl = thl if hl is None else hl + thl
-            lh = tlh if lh is None else lh + tlh
-            hh = thh if hh is None else hh + thh
+        ll, hl, lh, hh = _level_analysis2(v, g, h, d)
         details.append((lh, hl, hh))
         v = ll
 
@@ -510,22 +509,7 @@ def _denoise2_kernel(x_hbm, thr_hbm, out_ref, bufs, sems, *, g, h, level,
     for lvl in range(level, 0, -1):
         d = 1 << (lvl - 1)
         lh, hl, hh = (shrink(w) for w in details[lvl - 1])
-        cl = ch = None
-        for k in range(m_len):
-            tl = g[k] * v + h[k] * hl
-            th = g[k] * lh + h[k] * hh
-            if k:
-                tl = pltpu.roll(tl, rows - k * d, 0)
-                th = pltpu.roll(th, rows - k * d, 0)
-            cl = tl if cl is None else cl + tl
-            ch = th if ch is None else ch + th
-        acc = None
-        for k in range(m_len):
-            t = g[k] * cl + h[k] * ch
-            if k:
-                t = pltpu.roll(t, cols - k * d, 1)
-            acc = t if acc is None else acc + t
-        v = acc
+        v = _level_adjoint2(v, hl, lh, hh, g, h, d, rows, cols)
     out_ref[0] = v[hr:hr + rt, hc:hc + ct].astype(out_dtype)
 
 

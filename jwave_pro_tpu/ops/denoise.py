@@ -211,22 +211,24 @@ def modwt2_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
         xf = x[None] if x.ndim == 2 else x
         if xf.ndim != 3:
             raise ValueError("method='fused' supports (R, C) or (B, R, C)")
-        if threshold is None or threshold == "universal":
+        # isinstance-first, like the 1D fused path: `threshold == str`
+        # on a numpy array is an elementwise compare (truth-value error)
+        if threshold is None or isinstance(threshold, str):
+            if threshold not in (None, "universal"):
+                raise ValueError(
+                    "method='fused' supports scalar-per-image thresholds "
+                    f"(None/'universal'/array), not {threshold!r}")
             hh1 = modwt2(xf, wavelet, 1, method="direct")[2]
             sigma = mad_sigma(hh1.reshape(hh1.shape[0], -1))
             threshold = sigma * jnp.sqrt(
                 2.0 * jnp.log(float(xf.shape[-2] * xf.shape[-1])))
-        elif isinstance(threshold, str):
-            raise ValueError(
-                "method='fused' supports scalar-per-image thresholds "
-                f"(None/'universal'/array), not {threshold!r}")
         thr = jnp.broadcast_to(jnp.asarray(threshold, jnp.float32).ravel(),
                                (xf.shape[0],))
         out = modwt2_denoise_fused(xf, thr, wavelet, level, mode)
         return out[0] if x.ndim == 2 else out
     if method not in ("auto", "direct"):
         raise ValueError(f"unknown method {method!r}")
-    c = modwt2(x, wavelet, level)          # (3L+1, ..., R, C)
+    c = modwt2(x, wavelet, level, method=method)   # (3L+1, ..., R, C)
     n_bands = 3 * level
     r, ccols = x.shape[-2], x.shape[-1]
     flat = c[:n_bands].reshape((n_bands,) + c.shape[1:-2] + (-1,))
@@ -248,7 +250,7 @@ def modwt2_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
     shrink = soft_threshold if mode == "soft" else hard_threshold
     details = shrink(c[:n_bands], threshold)
     c = jnp.concatenate([details, c[n_bands:]], axis=0)
-    return imodwt2(c, wavelet)
+    return imodwt2(c, wavelet, method=method)
 
 
 def modwt3_denoise(x: jax.Array, wavelet: DiscreteWavelet, level: int,
