@@ -66,6 +66,19 @@ def test_median_select_matches_np_median(rng):
     assert np.isnan(m[0]) and m[1] == np.median(xn[1])
 
 
+def test_median_select_extreme_values():
+    # ±inf, denormals, all-equal: contract is JNP.median parity (XLA
+    # flushes the denormal mean to 0 where np.median keeps 7.5e-324 —
+    # both implementations agree with each other, pinned here)
+    for row in ([1.0, np.inf, -np.inf, 2.0], [np.inf, np.inf, 1.0],
+                [5e-324, 1e-323, 2e-308, 0.0], [-np.inf, -np.inf],
+                [3.0, 3.0, 3.0]):
+        x = jnp.asarray(np.array([row]))
+        np.testing.assert_array_equal(
+            np.asarray(jw.median_select(x)),
+            np.asarray(jnp.median(x, axis=-1)))
+
+
 def test_matmul_cumsum_matches_jnp(rng):
     # r5: the expanding-RMS floor and realized vol ride an MXU triangular-
     # matmul prefix sum (XLA's log-N cumsum was the EWMA tier's dominant
