@@ -24,7 +24,7 @@ from .ops import (  # noqa: F401
     ifwt, ifwt2, ifwt3, imodwt, iwpt, iwpt2, iwpt3, log_energy_cost, modwt,
     imodwt2, imodwt3, imodwpt, modwt2, modwt2_mra, modwt3, modwt3_mra,
     modwpt, modwpt_basis_reconstruct, modwpt_best_basis, modwpt_mra,
-    modwpt_node_path, modwpt_tree, imodwpt2, modwpt2,
+    modwpt_node_path, modwpt_tree, imodwpt2, modwpt2, imodwpt3, modwpt3,
     modwpt2_basis_reconstruct, modwpt2_best_basis, modwpt2_tree,
     modwt_base_filters, modwt_mra, recompose, shannon_entropy_cost,
     synthesis_step, threshold_cost, wpt, wpt2, wpt3, wpt_tree,

@@ -9,9 +9,10 @@ from .modwt import (
 from .modwt2d import (imodwt2, imodwt3, modwt2, modwt2_mra, modwt3,
                       modwt3_mra)
 from .modwpt import (
-    imodwpt, imodwpt2, modwpt, modwpt2, modwpt2_basis_reconstruct,
-    modwpt2_best_basis, modwpt2_tree, modwpt_basis_reconstruct,
-    modwpt_best_basis, modwpt_mra, modwpt_node_path, modwpt_tree,
+    imodwpt, imodwpt2, imodwpt3, modwpt, modwpt2,
+    modwpt2_basis_reconstruct, modwpt2_best_basis, modwpt2_tree, modwpt3,
+    modwpt_basis_reconstruct, modwpt_best_basis, modwpt_mra,
+    modwpt_node_path, modwpt_tree,
 )
 from .wpt import (
     basis_coefficients, basis_coefficients2, basis_reconstruct,
@@ -29,7 +30,8 @@ __all__ = [
     "imodwt2", "modwt2", "modwt2_mra", "imodwt3", "modwt3", "modwt3_mra",
     "imodwpt", "modwpt", "modwpt_basis_reconstruct", "modwpt_best_basis",
     "modwpt_mra", "modwpt_node_path", "modwpt_tree",
-    "imodwpt2", "modwpt2", "modwpt2_basis_reconstruct",
+    "imodwpt2", "modwpt2", "imodwpt3", "modwpt3",
+    "modwpt2_basis_reconstruct",
     "modwpt2_best_basis", "modwpt2_tree",
     "basis_coefficients", "basis_reconstruct", "best_basis", "iwpt", "iwpt2",
     "basis_coefficients2", "basis_reconstruct2", "best_basis2", "wpt2_tree",

@@ -52,7 +52,7 @@ __all__ = [
     "modwpt", "imodwpt", "modwpt_tree", "modwpt_mra",
     "modwpt_best_basis", "modwpt_basis_reconstruct", "modwpt_node_path",
     "modwpt2", "imodwpt2", "modwpt2_tree", "modwpt2_best_basis",
-    "modwpt2_basis_reconstruct",
+    "modwpt2_basis_reconstruct", "modwpt3", "imodwpt3",
 ]
 
 
@@ -516,3 +516,72 @@ def modwpt2_basis_reconstruct(tree, masks, wavelet: DiscreteWavelet,
         parents = _level_inverse2(cur, g, h, l, method)
         cur = parents + mask_mul(tree[l - 1], masks[l - 1])
     return cur[0, 0]
+
+
+def modwpt3(x: jax.Array, wavelet: DiscreteWavelet, level: int,
+            method: str = "auto") -> jax.Array:
+    """3D MODWPT: ``(..., D, R, C) → (2^L, 2^L, 2^L, ..., D, R, C)``.
+
+    The undecimated OCT-tree (r5) completing the 3D transform matrix the
+    way :func:`modwpt2` completes the 2D one (fwt3 : modwt3 :: wpt3 :
+    modwpt3): separability makes it the tensor product of three 1D packet
+    trees, so node ``(n_d, n_r, n_c)`` applies the depth cascade of 1D
+    node ``n_d``, the row cascade of ``n_r`` and the column cascade of
+    ``n_c`` — all axes sequency-ordered.  Node (0, 0, 0) equals the 3D
+    MODWT's LLL_level; exactly shift-invariant in all three axes; every
+    level preserves energy.  Output is 8^L full-resolution volumes —
+    keep ``level`` small (L1: 8 nodes, L2: 64).
+
+    Computed as three big-batch 1D transforms (the orthogonal axes
+    flattened into the batch) so the fused TPU kernel applies to every
+    pass.
+    """
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(jnp.float32)
+    if x.ndim < 3:
+        raise ValueError("modwpt3 needs at least 3 dims (..., D, R, C)")
+    *lead, dd, r, c = x.shape
+    _check_level(dd, level)
+    _check_level(r, level)
+    _check_level(c, level)
+    p = 1 << level
+    # depth pass
+    t = jnp.moveaxis(x, -3, -1)                         # (..., R, C, D)
+    nd = modwpt(t.reshape(-1, dd), wavelet, level, method)
+    nd = jnp.moveaxis(nd.reshape([p] + lead + [r, c, dd]), -1, -3)
+    # row pass
+    t = jnp.swapaxes(nd, -1, -2)                        # (P_d, ..., D, C, R)
+    nr = modwpt(t.reshape(-1, r), wavelet, level, method)
+    nr = jnp.swapaxes(nr.reshape([p, p] + lead + [dd, c, r]), -1, -2)
+    # column pass
+    nc = modwpt(nr.reshape(-1, c), wavelet, level, method)
+    nc = nc.reshape([p, p, p] + lead + [dd, r, c])      # (n_c, n_r, n_d, …)
+    perm = [2, 1, 0] + list(range(3, nc.ndim))
+    return jnp.transpose(nc, perm)                      # (n_d, n_r, n_c, …)
+
+
+def imodwpt3(coeffs: jax.Array, wavelet: DiscreteWavelet,
+             method: str = "auto") -> jax.Array:
+    """Inverse 3D MODWPT: ``(2^L, 2^L, 2^L, ..., D, R, C) → (..., D, R, C)``."""
+    coeffs = jnp.asarray(coeffs)
+    if coeffs.ndim < 6:
+        raise ValueError(
+            "imodwpt3 expects (nodes_d, nodes_r, nodes_c, ..., D, R, C)")
+    pd, pr, pc = coeffs.shape[0], coeffs.shape[1], coeffs.shape[2]
+    if not (pd == pr == pc) or pd < 2 or pd & (pd - 1):
+        raise ValueError(
+            f"leading node axes must be equal powers of two ≥ 2, got "
+            f"({pd}, {pr}, {pc})")
+    *lead, dd, r, c = coeffs.shape[3:]
+    # undo column pass (consume n_c), then rows, then depth
+    t = jnp.transpose(coeffs,
+                      [2, 1, 0] + list(range(3, coeffs.ndim)))
+    sig_c = imodwpt(t.reshape(pc, -1, c), wavelet, method)
+    sig_c = sig_c.reshape([pr, pd] + lead + [dd, r, c])  # (n_r, n_d, …)
+    t = jnp.swapaxes(sig_c, -1, -2)                      # (…, D, C, R)
+    sig_r = imodwpt(t.reshape(pr, -1, r), wavelet, method)
+    sig_r = jnp.swapaxes(sig_r.reshape([pd] + lead + [dd, c, r]), -1, -2)
+    t = jnp.moveaxis(sig_r, -3, -1)                      # (n_d, …, R, C, D)
+    sig = imodwpt(t.reshape(pd, -1, dd), wavelet, method)
+    return jnp.moveaxis(sig.reshape(lead + [r, c, dd]), -1, -3)

@@ -272,3 +272,30 @@ def test_modwpt2_validation(rng):
         imodwpt2(jnp.zeros((3, 3, 16, 16)), DB4)  # non-pow2 nodes
     with pytest.raises(ValueError):
         imodwpt2(jnp.zeros((2, 4, 16, 16)), DB4)  # unequal node axes
+
+
+def test_modwpt3_roundtrip_shift_invariance_and_lll(rng):
+    """r5 oct-tree: tensor product of three 1D packet cascades —
+    roundtrip, exact 3-axis shift invariance, node (0,0,0) = MODWT LLL,
+    energy preservation, batching."""
+    w = jw.wavelet("Daubechies 4")
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 8)))
+    c = jw.modwpt3(x, w, 1)
+    assert c.shape == (2, 2, 2, 2, 8, 16, 8)
+    np.testing.assert_allclose(np.asarray(jw.imodwpt3(c, w)),
+                               np.asarray(x), atol=1e-10)
+    lll = np.asarray(jw.modwt3(x, w, 1, method="direct")[-1])
+    np.testing.assert_allclose(np.asarray(c[0, 0, 0]), lll, atol=1e-12)
+    np.testing.assert_allclose(float(jnp.sum(c ** 2)),
+                               float(jnp.sum(x ** 2)), rtol=1e-10)
+    for ax in (-3, -2, -1):
+        cs = jw.modwpt3(jnp.roll(x, 3, axis=ax), w, 1)
+        np.testing.assert_allclose(np.asarray(cs),
+                                   np.asarray(jnp.roll(c, 3, axis=ax)),
+                                   atol=1e-10)
+    # single volume == batch row
+    c1 = jw.modwpt3(x[0], w, 1)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c[:, :, :, 0]),
+                               atol=1e-12)
+    with np.testing.assert_raises(ValueError):
+        jw.imodwpt3(np.zeros((2, 2, 3, 8, 8, 8)), w)
