@@ -50,6 +50,18 @@ def main():
         print(f"denoise ({kind or 'universal'}): MSE {mse_n:.4f} -> "
               f"{mse_d:.4f} ({mse_n / mse_d:.1f}x better)")
 
+    # --- 3D packet oct-tree: 8 shift-invariant full-resolution nodes --
+    oc = np.asarray(jw.modwpt3(noisy, w, 1))
+    energies = (oc ** 2).sum(axis=(-3, -2, -1))
+    print("modwpt3 L1 oct-tree node energies (d,r,c sequency order):")
+    for nd in range(2):
+        for nr_ in range(2):
+            row = "  ".join(f"({nd},{nr_},{ncl}): {energies[nd, nr_, ncl]:8.1f}"
+                            for ncl in range(2))
+            print("  " + row)
+    rt = float(np.max(np.abs(np.asarray(jw.imodwpt3(oc, w)) - noisy)))
+    print(f"oct-tree roundtrip: max err {rt:.2e}")
+
     # --- additive 3D MRA: per-band components sum back to the volume --
     mra = np.asarray(jw.modwt3_mra(noisy, w, 1))
     recon = mra.sum(axis=0)
